@@ -1,0 +1,98 @@
+"""Unit tests for the engine-side operators: Bloom/cuckoo filters, robots
+parsing/matching, politeness token math."""
+
+import numpy as np
+import pytest
+
+from upton_spark.operators import politeness
+from upton_spark.operators.dedup import BloomFilter, CuckooFilter
+from upton_spark.operators.robots import allowed, parse_robots
+
+
+class TestBloom:
+    def test_membership_and_fpr(self):
+        rng = np.random.default_rng(42)
+        n = 20_000
+        h64 = rng.integers(-(2**63), 2**63, size=n, dtype=np.int64)
+        h32 = rng.integers(-(2**31), 2**31, size=n, dtype=np.int64)
+        bf = BloomFilter.sized_for(n, fpr=1e-3)
+        bf.add_hashes(h64[: n // 2], h32[: n // 2])
+        assert bf.contains_hashes(h64[: n // 2], h32[: n // 2]).all(), "no false negatives"
+        fp = bf.contains_hashes(h64[n // 2 :], h32[n // 2 :]).mean()
+        assert fp < 0.01, f"false positive rate too high: {fp}"
+
+    def test_merge_and_serialization(self):
+        a = BloomFilter(1 << 12, 4)
+        b = BloomFilter(1 << 12, 4)
+        a.add_hashes(np.array([1, 2, 3]), np.array([7, 8, 9]))
+        b.add_hashes(np.array([100]), np.array([200]))
+        merged = BloomFilter.from_bytes(a.to_bytes(), a.n_bits, a.n_hashes).merge(b)
+        assert merged.contains_hashes(np.array([1, 100]), np.array([7, 200])).all()
+
+    def test_empty(self):
+        bf = BloomFilter.sized_for(10)
+        assert bf.contains_hashes(np.array([], dtype=np.int64), np.array([], dtype=np.int64)).size == 0
+
+
+class TestCuckoo:
+    def test_add_contains_delete(self):
+        cf = CuckooFilter.sized_for(1000)
+        keys = [hash(f"url-{i}") for i in range(500)]
+        for k in keys:
+            assert cf.add(k)
+        assert all(cf.contains(k) for k in keys)
+        for k in keys[:100]:
+            assert cf.delete(k)
+        misses = sum(cf.contains(k) for k in keys[:100])
+        # deletions may leave a few fingerprint collisions but most are gone
+        assert misses < 10
+        assert all(cf.contains(k) for k in keys[100:])
+
+    def test_delete_absent_returns_false(self):
+        cf = CuckooFilter.sized_for(100)
+        cf.add(12345)
+        assert not cf.delete(99999999)
+
+
+class TestRobots:
+    BODY = """
+# comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: upton-spark
+Disallow: /only-for-us/
+"""
+
+    def test_parse_groups(self):
+        rows = parse_robots("example.com", self.BODY)
+        agents = {(r[1], r[2], r[3]) for r in rows}
+        assert ("*", "disallow", "/private/") in agents
+        assert ("*", "allow", "/private/ok") in agents
+        assert ("upton-spark", "disallow", "/only-for-us/") in agents
+        delay = [r for r in rows if r[2] == "crawl-delay"]
+        assert delay and delay[0][4] == 2.0
+
+    def test_longest_match_semantics(self):
+        rules = [("disallow", "/private/"), ("allow", "/private/ok")]
+        assert not allowed("/private/x", rules)
+        assert allowed("/private/ok/page", rules)
+        assert allowed("/public", rules)
+
+    def test_wildcard_and_anchor(self):
+        rules = [("disallow", "/*.pdf$")]
+        assert not allowed("/a/b.pdf", rules)
+        assert allowed("/a/b.pdfx", rules)
+
+    def test_no_rules_allows(self):
+        assert allowed("/anything", [])
+
+
+class TestPoliteness:
+    def test_tokens_for(self):
+        assert politeness.tokens_for(0, 60) == politeness.UNLIMITED
+        assert politeness.tokens_for(None, 60) == politeness.UNLIMITED
+        assert politeness.tokens_for(30, 60) == 2
+        assert politeness.tokens_for(120, 60) == 1  # min one: chains progress

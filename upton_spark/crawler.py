@@ -1,0 +1,849 @@
+"""The crawl engine — Upton's scrape lifecycle as a Spark round loop.
+
+Reproduces the reference lifecycle (SURVEY.md §3: index resolution →
+pagination → instance fetch → per-page block → flatten) as driver-side
+iterative batch over DataFrames:
+
+* **index phase** — one pagination page per seed per round (the chain is
+  inherently sequential per seed: page k+1's URL depends on page k's body
+  emptiness, lib/upton.rb:295-311), parallel across seeds/hosts; link
+  projection via the vectorized extraction UDF with NULL hrefs preserved.
+* **instance phase** — frontier rows `(seed, instance_index, url)`; fetch =
+  join against the ``pages`` corpus (the corpus *is* the stash:
+  lib/upton/downloader.rb:70-98 becomes an anti-join + join); dedup via
+  broadcast Bloom + exact-confirm anti-join; robots gate; per-host
+  token-bucket politeness with deferral; every round is a catalog snapshot
+  commit carrying per-partition lineage → kill/resume-safe.
+* **extraction phase** — the user "block" as a pandas UDF over the html
+  column, in the reference's three canned shapes (text / list / table,
+  lib/upton/utils.rb:20-40) plus identity (the reference's default block
+  ``Proc.new{|x| x}``, lib/upton.rb:49).
+
+Determinism: every ordering comes from explicit columns
+(seed_id, page_round, pos, instance_index, pagination_index, match_index) —
+never partition iteration order or monotonically_increasing_id.
+
+Scale design (10^10 frontier): the only per-round shuffles are (a) the hash
+exchange on ``host`` for politeness ranking — which is also the frontier's
+storage partitioning, so it amortizes; (b) the url join frontier×pages —
+sort-merge under AQE with skew-join splitting; hot hosts are additionally
+capped by politeness itself (per-host tokens bound per-host work per round).
+Selectors/config ride a broadcast seed dimension. Bloom membership runs
+JVM-hashed + numpy-vectorized; false-positive confirmation touches only the
+maybe-seen subset. Per-round decision accounting is ONE aggregation job
+(groupBy decision × host-bucket), not N driver count() actions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from upton_spark import schemas
+from upton_spark.functions.udfs import (
+    decode_html_udf,
+    extract_links_udf,
+    extract_list_udf,
+    extract_table_udf,
+    extract_text_udf,
+    host_col,
+    next_index_page_url_udf,
+    resolve_url_udf,
+)
+from upton_spark.operators import dedup as dedup_ops
+from upton_spark.operators import politeness as polite_ops
+from upton_spark.operators import robots as robots_ops
+from upton_spark.sources.catalog import ManifestCatalog
+
+N_LINEAGE_BUCKETS = 32  # host-hash buckets used as lineage "partitions"
+
+
+@dataclass
+class SeedSpec:
+    """One crawl job seed — the reference Scraper's constructor+attrs surface
+    (lib/upton.rb:65-114). Either ``seed_url`` (+ index_selector) for
+    index-page mode or ``url_list`` for the explicit-array mode."""
+
+    seed_id: int
+    seed_url: str | None = None
+    url_list: list[str] | None = None
+    index_selector: str = ""
+    extract_selector: str | None = None
+    extract_kind: str = "text"  # text | list | table | identity
+    paginated: bool = False
+    pagination_param: str = "page"
+    pagination_max_pages: int = 2
+    pagination_start_index: int = 1
+    pagination_interval: int = 1
+    sleep_time_between_requests: float = 30.0
+
+
+@dataclass
+class CrawlResult:
+    extracted: DataFrame
+    frontier: DataFrame
+    urls_seen: DataFrame
+    lineage: DataFrame
+    links: DataFrame
+
+
+_LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("seed_id", T.IntegerType(), False),
+        T.StructField("page_round", T.IntegerType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("url", T.StringType(), True),
+    ]
+)
+
+
+class KilledCrawl(RuntimeError):
+    """Raised by stop_after_round to simulate a mid-crawl kill in tests."""
+
+    def __init__(self, round_no: int):
+        super().__init__(f"crawl killed after round {round_no}")
+        self.round_no = round_no
+
+
+def _tokens_col(sleep_col, round_budget_s: float):
+    """Live-fetch tokens per host per round — the reference's
+    sleep_time_between_requests (lib/upton.rb:96) re-expressed as
+    floor(budget/sleep), min 1 so chains always progress."""
+    return (
+        F.when(sleep_col.isNull() | (sleep_col <= 0), F.lit(polite_ops.UNLIMITED))
+        .otherwise(F.greatest(F.lit(1), F.floor(F.lit(round_budget_s) / sleep_col)))
+        .cast("long")
+    )
+
+
+def _csv_quote(col, sep: str):
+    quoted = F.concat(F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"'))
+    return F.when(
+        col.contains(sep) | col.contains('"') | col.contains("\n"), quoted
+    ).otherwise(col)
+
+
+class Crawler:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        seeds: list[SeedSpec],
+        *,
+        index_cached: bool = False,  # reference @index_debug default (lib/upton.rb:92)
+        instance_cached: bool = True,  # reference @debug default (lib/upton.rb:90)
+        round_budget_s: float = 60.0,
+        robots: DataFrame | None = None,
+        user_agent: str = "upton-spark",
+        catalog: ManifestCatalog | None = None,
+        next_instance_page_url_fn: Callable[[str, int], str] | None = None,
+        max_instance_pages: int = 16,
+        expected_url_capacity: int = 1 << 20,
+        bloom_fpr: float = 1e-3,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.seeds = seeds
+        self.index_cached = index_cached
+        self.instance_cached = instance_cached
+        self.round_budget_s = round_budget_s
+        self.robots = robots
+        self.user_agent = user_agent
+        self.catalog = catalog
+        self.next_instance_page_url_fn = next_instance_page_url_fn
+        self.max_instance_pages = max_instance_pages
+        self._bloom = dedup_ops.BloomFilter.sized_for(expected_url_capacity, bloom_fpr)
+        self._lineage_rows: list[tuple] = []
+        self._seen_count = 0
+        self.seeds_df = spark.createDataFrame(
+            [
+                (
+                    s.seed_id,
+                    s.seed_url or "",
+                    s.index_selector,
+                    s.extract_selector,
+                    s.extract_kind,
+                    s.paginated,
+                    s.pagination_param,
+                    s.pagination_max_pages,
+                    s.pagination_start_index,
+                    s.pagination_interval,
+                    s.sleep_time_between_requests,
+                )
+                for s in seeds
+            ],
+            schema=schemas.SEEDS,
+        )
+        self._pages_latest: DataFrame | None = None
+
+    # ------------------------------------------------------------------ util
+    def pages_latest(self) -> DataFrame:
+        """Latest capture per URL (dedup-latest on warc_ts — the as-of rule
+        of SURVEY.md §2.3). Computed once per crawl; at scale this is an
+        Iceberg partition-pruned scan + per-url window."""
+        if self._pages_latest is None:
+            w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
+            self._pages_latest = (
+                self.pages.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("url", "html")
+                .localCheckpoint(eager=False)
+            )
+        return self._pages_latest
+
+    def _empty_seen(self) -> DataFrame:
+        return self.spark.createDataFrame([], schema=schemas.URLS_SEEN)
+
+    def _load_bloom_from(self, seen: DataFrame) -> int:
+        pdf = (
+            dedup_ops.with_url_hashes(seen.select("url"))
+            .select("url_hash", "url_hash32")
+            .toPandas()
+        )
+        if len(pdf):
+            self._bloom.add_hashes(pdf["url_hash"].to_numpy(), pdf["url_hash32"].to_numpy())
+        return len(pdf)
+
+    def _note_lineage(self, phase: str, round_no: int, per_pid: dict[tuple[str, int], int]) -> None:
+        pids = sorted({pid for (_, pid) in per_pid})
+        if not pids:
+            pids = [0]
+        for pid in pids:
+            self._lineage_rows.append(
+                (
+                    phase,
+                    round_no,
+                    pid,
+                    self._seen_count,
+                    per_pid.get(("fetched", pid), 0),
+                    per_pid.get(("deferred", pid), 0),
+                    per_pid.get(("cache_hit", pid), 0),
+                    per_pid.get(("blocked", pid), 0),
+                )
+            )
+
+    def _mark_seen(self, seen: DataFrame, new_urls: DataFrame, round_no: int, n_new: int) -> DataFrame:
+        """seen ∪ new; merges the round's new URLs into the cumulative Bloom
+        via distributed partial bitmaps (driver OR-merge)."""
+        distinct_new = dedup_ops.with_url_hashes(new_urls.select("url").distinct())
+        new_rows = distinct_new.withColumn("first_round", F.lit(round_no)).select(
+            "url_hash", "url", "first_round"
+        )
+        dedup_ops.build_bloom(distinct_new, into=self._bloom)
+        self._seen_count += n_new
+        return seen.unionByName(new_rows).localCheckpoint(eager=True)
+
+    # ----------------------------------------------------------- index phase
+    def run_index_phase(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Fetch paginated index chains, project links. Returns (links, seen).
+
+        One pagination page per alive seed per round; a seed's chain stops on
+        empty next-url (past max pages), next==prev (non-paginated seeds
+        after round 0), or empty body (lib/upton.rb:295-311)."""
+        index_seeds = self.seeds_df.filter(
+            (F.col("seed_url") != "") & F.col("index_selector").isNotNull()
+        )
+        state = (
+            index_seeds.withColumn("pagination_index", F.col("pagination_start_index"))
+            .withColumn("prev_url", F.lit(None).cast("string"))
+            .localCheckpoint(eager=True)
+        )
+        links_parts: list[DataFrame] = []
+        round_no = 0
+        max_rounds = 2 + max(
+            [s.pagination_max_pages * max(1, s.pagination_interval) for s in self.seeds] + [1]
+        )
+        seed_cols = [f.name for f in schemas.SEEDS.fields]
+        while round_no < max_rounds and state.count() > 0:
+            cand = state.withColumn(
+                "next_url_raw",
+                next_index_page_url_udf(
+                    F.col("seed_url"),
+                    F.col("pagination_index"),
+                    F.col("paginated"),
+                    F.col("pagination_param"),
+                    F.col("pagination_max_pages"),
+                ),
+            )
+            cand = cand.filter(F.col("next_url_raw") != "")
+            cand = cand.withColumn(
+                "fetch_url", resolve_url_udf(F.col("next_url_raw"), F.col("seed_url"))
+            ).filter(F.col("prev_url").isNull() | (F.col("fetch_url") != F.col("prev_url")))
+            cand = dedup_ops.with_url_hashes(
+                cand.withColumn("host", host_col(F.col("fetch_url"))), "fetch_url"
+            )
+
+            # stash-hit check for index pages (reference @index_debug)
+            if self.index_cached:
+                seen_keys = seen.select("url_hash").distinct()
+                hits = cand.join(seen_keys, "url_hash", "left_semi").withColumn(
+                    "cache_hit", F.lit(True)
+                )
+                misses = cand.join(seen_keys, "url_hash", "left_anti").withColumn(
+                    "cache_hit", F.lit(False)
+                )
+                cand = hits.unionByName(misses)
+            else:
+                cand = cand.withColumn("cache_hit", F.lit(False))
+
+            # politeness: live index fetches consume tokens (the reference
+            # sleeps after every live request incl. index pages).
+            cand = cand.withColumn(
+                "host_tokens",
+                F.when(F.col("cache_hit"), F.lit(polite_ops.UNLIMITED)).otherwise(
+                    _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
+                ),
+            )
+            cand = polite_ops.admit_per_host(
+                cand, order_cols=("pagination_index", "seed_id")
+            ).localCheckpoint(eager=True)
+
+            admitted = cand.filter(F.col("admitted"))
+            fetched = (
+                admitted.join(
+                    self.pages_latest().withColumnRenamed("url", "fetch_url"),
+                    "fetch_url",
+                    "left",
+                )
+                .withColumn("body_empty", F.col("html").isNull() | (F.length("html") == 0))
+                .localCheckpoint(eager=True)
+            )
+
+            pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+            decision = (
+                F.when(~F.col("admitted"), "deferred")
+                .when(F.col("cache_hit"), "cache_hit")
+                .otherwise("fetched")
+            )
+            counts = {
+                (r["decision"], r["pid"]): r["count"]
+                for r in cand.select(decision.alias("decision"), pid.alias("pid"))
+                .groupBy("decision", "pid")
+                .count()
+                .collect()
+            }
+            n_live = sum(v for (d, _), v in counts.items() if d == "fetched")
+            if self.index_cached and n_live:
+                seen = self._mark_seen(
+                    seen,
+                    admitted.filter(~F.col("cache_hit")).select(F.col("fetch_url").alias("url")),
+                    round_no,
+                    n_live,
+                )
+            self._note_lineage("index", round_no, counts)
+
+            page_links = (
+                fetched.filter(~F.col("body_empty"))
+                .withColumn(
+                    "hrefs",
+                    extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
+                )
+                .select(
+                    "seed_id",
+                    F.lit(round_no).alias("page_round"),
+                    F.posexplode_outer("hrefs").alias("pos", "url"),
+                )
+                .filter(F.col("pos").isNotNull())
+                .select("seed_id", "page_round", "pos", "url")
+            )
+            links_parts.append(page_links.localCheckpoint(eager=True))
+
+            # advance: admitted seeds move to the next pagination index and
+            # survive only with a non-empty body; deferred seeds retry as-is.
+            advanced = (
+                fetched.filter(~F.col("body_empty"))
+                .withColumn("pagination_index", F.col("pagination_index") + F.col("pagination_interval"))
+                .withColumn("prev_url", F.col("fetch_url"))
+                .select(*seed_cols, "pagination_index", "prev_url")
+            )
+            deferred_state = cand.filter(~F.col("admitted")).select(
+                *seed_cols, "pagination_index", "prev_url"
+            )
+            state = advanced.unionByName(deferred_state).localCheckpoint(eager=True)
+            round_no += 1
+
+        if links_parts:
+            links = links_parts[0]
+            for part in links_parts[1:]:
+                links = links.unionByName(part)
+        else:
+            links = self.spark.createDataFrame([], schema=_LINKS_SCHEMA)
+        return links.localCheckpoint(eager=True), seen
+
+    # -------------------------------------------------------- instance phase
+    def build_frontier(self, links: DataFrame) -> DataFrame:
+        """Links + explicit url_list seeds → frontier with instance_index in
+        index-DOM order (posexplode position within page, pages in chain
+        order — lib/upton.rb:266-268,337-345)."""
+        w = Window.partitionBy("seed_id").orderBy("page_round", "pos")
+        from_index = links.withColumn(
+            "instance_index", (F.row_number().over(w) - 1).cast("long")
+        ).select("seed_id", "instance_index", "url")
+        explicit_rows = [
+            (s.seed_id, idx, url)
+            for s in self.seeds
+            if s.url_list is not None
+            for idx, url in enumerate(s.url_list)
+        ]
+        explicit = self.spark.createDataFrame(
+            explicit_rows, schema="seed_id int, instance_index long, url string"
+        )
+        frontier = (
+            from_index.unionByName(explicit)
+            .withColumn("pagination_index", F.lit(0))
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("depth", F.lit(1))
+            .withColumn("priority", F.col("instance_index"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn(
+                "status",
+                F.when(F.col("url").isNull() | (F.col("url") == ""), "empty_url").otherwise(
+                    "queued"
+                ),
+            )
+            .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
+        )
+        return dedup_ops.with_url_hashes(frontier).localCheckpoint(eager=True)
+
+    def run_fetch_rounds(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        *,
+        phase: str = "instance",
+        max_rounds: int = 64,
+        stop_after_round: int | None = None,
+        start_round: int = 0,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Politeness-bounded fetch loop over queued frontier rows.
+
+        Each round: robots gate → Bloom+anti-join dedup (cache hits free) →
+        per-host token admission → mark fetched, merge seen → snapshot
+        commit with per-host-bucket lineage. Deferred rows re-enter next
+        round. Returns (frontier, seen) with statuses resolved."""
+        round_no = start_round
+        rounds_done = 0
+        while rounds_done < max_rounds:
+            queued = frontier.filter(F.col("status") == "queued")
+            if queued.rdd.isEmpty():
+                break
+            # one fetch decision per distinct url; lowest-priority row wins
+            w = Window.partitionBy("url_hash").orderBy("priority", "seed_id", "instance_index")
+            cand = (
+                queued.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            cand = robots_ops.robots_gate(self.spark, cand, self.robots, self.user_agent)
+            blocked = cand.filter(~F.col("robots_allowed"))
+            allowed_cand = cand.filter(F.col("robots_allowed"))
+
+            if self.instance_cached:
+                cache_hits = allowed_cand.join(
+                    seen.select("url_hash").distinct(), "url_hash", "left_semi"
+                )
+                new_urls = dedup_ops.dedup_against_seen(self.spark, allowed_cand, seen, self._bloom)
+            else:
+                cache_hits = allowed_cand.limit(0)
+                new_urls = allowed_cand
+
+            new_urls = new_urls.join(
+                F.broadcast(self.seeds_df.select("seed_id", "sleep_time_between_requests")),
+                "seed_id",
+                "left",
+            )
+            delays = robots_ops.crawl_delays(self.robots, self.user_agent)
+            if delays is not None:
+                new_urls = (
+                    new_urls.join(F.broadcast(delays), "host", "left")
+                    .withColumn(
+                        "sleep_time_between_requests",
+                        F.greatest(
+                            F.col("sleep_time_between_requests"),
+                            F.coalesce("crawl_delay", F.lit(0.0)),
+                        ),
+                    )
+                    .drop("crawl_delay")
+                )
+            new_urls = new_urls.withColumn(
+                "host_tokens", _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
+            )
+            new_urls = polite_ops.admit_per_host(new_urls)
+
+            pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+            decisions = (
+                new_urls.select(
+                    "url_hash",
+                    "url",
+                    "host",
+                    F.when(F.col("admitted"), "fetched").otherwise("deferred").alias("decision"),
+                )
+                .unionByName(
+                    cache_hits.select(
+                        "url_hash", "url", "host", F.lit("cache_hit").alias("decision")
+                    )
+                )
+                .unionByName(
+                    blocked.select("url_hash", "url", "host", F.lit("blocked").alias("decision"))
+                )
+                .localCheckpoint(eager=True)
+            )
+            counts = {
+                (r["decision"], r["pid"]): r["count"]
+                for r in decisions.withColumn("pid", pid)
+                .groupBy("decision", "pid")
+                .count()
+                .collect()
+            }
+            n_admitted = sum(v for (d, _), v in counts.items() if d == "fetched")
+            n_deferred = sum(v for (d, _), v in counts.items() if d == "deferred")
+
+            if self.instance_cached and n_admitted:
+                seen = self._mark_seen(
+                    seen,
+                    decisions.filter(F.col("decision") == "fetched").select("url"),
+                    round_no,
+                    n_admitted,
+                )
+            self._note_lineage(phase, round_no, counts)
+
+            status_map = decisions.filter(F.col("decision") != "deferred").select(
+                "url_hash", F.col("decision").alias("_new_status")
+            )
+            if not self.instance_cached:
+                status_map = status_map.withColumn(
+                    "_new_status",
+                    F.when(F.col("_new_status") == "cache_hit", "fetched").otherwise(
+                        F.col("_new_status")
+                    ),
+                )
+            frontier = (
+                frontier.join(status_map.dropDuplicates(["url_hash"]), "url_hash", "left")
+                .withColumn(
+                    "status",
+                    F.when(
+                        (F.col("status") == "queued") & F.col("_new_status").isNotNull(),
+                        F.col("_new_status"),
+                    ).otherwise(F.col("status")),
+                )
+                .drop("_new_status")
+                .localCheckpoint(eager=True)
+            )
+            if self.catalog is not None:
+                self.catalog.commit(
+                    round_no,
+                    {"frontier": frontier, "urls_seen": seen, "lineage": self.lineage_df()},
+                    metrics={
+                        "phase": phase,
+                        "round": round_no,
+                        "fetched": n_admitted,
+                        "deferred_by_politeness": n_deferred,
+                        "cache_hits": sum(v for (d, _), v in counts.items() if d == "cache_hit"),
+                        "blocked_by_robots": sum(v for (d, _), v in counts.items() if d == "blocked"),
+                        "urls_seen": self._seen_count,
+                    },
+                )
+            round_no += 1
+            rounds_done += 1
+            if stop_after_round is not None and round_no > stop_after_round:
+                raise KilledCrawl(round_no)
+            if n_deferred == 0:
+                break
+        return frontier, seen
+
+    # ------------------------------------------------------ extraction phase
+    def attach_bodies(self, frontier: DataFrame) -> DataFrame:
+        """Frontier rows + page bodies. Missing/blocked/empty-url rows get a
+        NULL body → decoded '' — the reference's EMPTY_STRING fetch-failure
+        encoding (lib/upton.rb:35, lib/upton/downloader.rb:67)."""
+        joined = frontier.join(self.pages_latest(), "url", "left")
+        return joined.withColumn(
+            "html",
+            F.when(F.col("status").isin("fetched", "cache_hit"), F.col("html")).otherwise(
+                F.lit(None).cast("binary")
+            ),
+        )
+
+    def extract(self, frontier_with_body: DataFrame) -> DataFrame:
+        """Apply the per-seed extraction block; one branch per kind, unioned
+        (a CASE over Python UDFs would evaluate every UDF on every row —
+        BatchEvalPython hoists them — so we split instead)."""
+        df = frontier_with_body.join(
+            F.broadcast(self.seeds_df.select("seed_id", "extract_selector", "extract_kind")),
+            "seed_id",
+            "left",
+        )
+        keys = ["url", "seed_id", "instance_index", "pagination_index"]
+        null_row = F.lit(None).cast(T.ArrayType(T.StringType()))
+        parts: list[DataFrame] = []
+
+        parts.append(
+            df.filter(F.col("extract_kind") == "text").select(
+                *keys,
+                F.lit(0).alias("match_index"),
+                extract_text_udf(F.col("html"), F.col("extract_selector")).alias("text"),
+                null_row.alias("row"),
+            )
+        )
+        parts.append(
+            df.filter(F.col("extract_kind") == "identity").select(
+                *keys,
+                F.lit(0).alias("match_index"),
+                decode_html_udf(F.col("html")).alias("text"),
+                null_row.alias("row"),
+            )
+        )
+        parts.append(
+            df.filter(F.col("extract_kind") == "list")
+            .withColumn("items", extract_list_udf(F.col("html"), F.col("extract_selector")))
+            .select(*keys, F.posexplode_outer("items").alias("match_index", "text"))
+            .withColumn("row", null_row)
+        )
+        parts.append(
+            df.filter(F.col("extract_kind") == "table")
+            .withColumn("rows", extract_table_udf(F.col("html"), F.col("extract_selector")))
+            .select(*keys, F.posexplode_outer("rows").alias("match_index", "row"))
+            .withColumn("text", F.lit(None).cast("string"))
+            .select(*keys, "match_index", "text", "row")
+        )
+
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # --------------------------------------------------------------- surface
+    def crawl(
+        self, *, max_fetch_rounds: int = 64, stop_after_round: int | None = None
+    ) -> CrawlResult:
+        self._lineage_rows = []
+        seen = self._empty_seen()
+        if self.catalog is not None:
+            snap = self.catalog.latest()
+            if snap is not None and "urls_seen" in snap.tables:
+                seen = self.catalog.table(snap, "urls_seen")
+                self._seen_count = self._load_bloom_from(seen)
+        links, seen = self.run_index_phase(seen)
+        frontier = self.build_frontier(links)
+        frontier, seen = self.run_fetch_rounds(
+            frontier, seen, max_rounds=max_fetch_rounds, stop_after_round=stop_after_round
+        )
+        frontier = self._instance_pagination(frontier, seen)
+        extracted = self.extract(self.attach_bodies(frontier))
+        result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
+        if self.catalog is not None:
+            self.catalog.commit(
+                -1,
+                {
+                    "extracted": extracted,
+                    "frontier": frontier,
+                    "urls_seen": seen,
+                    "lineage": result.lineage,
+                    "links": links,
+                },
+                metrics={"phase": "final", "urls_seen": self._seen_count},
+            )
+        return result
+
+    def resume(self, *, max_fetch_rounds: int = 64) -> CrawlResult:
+        """Continue from the last committed snapshot: reload frontier/seen,
+        re-run remaining fetch rounds, finish extraction. Identical ordering
+        and seen-set vs an uninterrupted run (north_star resume contract)."""
+        assert self.catalog is not None, "resume requires a catalog"
+        snap = self.catalog.latest()
+        assert snap is not None, "nothing to resume"
+        frontier = self.catalog.table(snap, "frontier").localCheckpoint(eager=True)
+        seen = self.catalog.table(snap, "urls_seen").localCheckpoint(eager=True)
+        links = (
+            self.catalog.table(snap, "links")
+            if "links" in snap.tables
+            else self.spark.createDataFrame([], schema=_LINKS_SCHEMA)
+        )
+        self._seen_count = self._load_bloom_from(seen)
+        start_round = snap.round + 1 if snap.round >= 0 else 0
+        frontier, seen = self.run_fetch_rounds(
+            frontier, seen, max_rounds=max_fetch_rounds, start_round=start_round
+        )
+        frontier = self._instance_pagination(frontier, seen)
+        extracted = self.extract(self.attach_bodies(frontier))
+        result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
+        self.catalog.commit(
+            -1,
+            {
+                "extracted": extracted,
+                "frontier": frontier,
+                "urls_seen": seen,
+                "lineage": result.lineage,
+            },
+            metrics={"phase": "final", "urls_seen": self._seen_count},
+        )
+        return result
+
+    def _instance_pagination(self, frontier: DataFrame, seen: DataFrame) -> DataFrame:
+        """Optional next_instance_page_url hook (lib/upton.rb:321-334):
+        page k+1 of an instance enters the frontier while page k's body is
+        non-empty; chains stop on empty/unchanged URL or empty body. The
+        hook receives the ORIGINAL instance url each time, like the
+        reference (lib/upton.rb:326)."""
+        fn = self.next_instance_page_url_fn
+        if fn is None:
+            return frontier
+
+        @F.pandas_udf(T.StringType())
+        def next_page(url: pd.Series, k: pd.Series) -> pd.Series:
+            return pd.Series([fn(u, int(i)) if u else "" for u, i in zip(url, k)])
+
+        for k in range(1, self.max_instance_pages + 1):
+            base = frontier.filter(
+                (F.col("pagination_index") == k - 1)
+                & F.col("status").isin("fetched", "cache_hit")
+            )
+            base = self.attach_bodies(base).filter(
+                F.col("html").isNotNull() & (F.length("html") > 0)
+            )
+            orig = frontier.filter(F.col("pagination_index") == 0).select(
+                "seed_id", "instance_index", F.col("url").alias("orig_url")
+            )
+            nxt = (
+                base.join(orig, ["seed_id", "instance_index"])
+                .withColumn("next_url", next_page(F.col("orig_url"), F.lit(k)))
+                .filter((F.col("next_url") != "") & (F.col("next_url") != F.col("url")))
+            )
+            if nxt.rdd.isEmpty():
+                break
+            new_rows = dedup_ops.with_url_hashes(
+                nxt.select("seed_id", "instance_index", F.col("next_url").alias("url"))
+                .withColumn("pagination_index", F.lit(k))
+                .withColumn("host", host_col(F.col("url")))
+                .withColumn("depth", F.lit(1))
+                .withColumn("priority", F.col("instance_index"))
+                .withColumn("attempts", F.lit(0))
+                .withColumn("status", F.lit("queued"))
+            )
+            frontier = frontier.unionByName(new_rows).localCheckpoint(eager=True)
+            frontier, seen = self.run_fetch_rounds(frontier, seen, phase=f"instance_pag_{k}")
+        return frontier
+
+    def lineage_df(self) -> DataFrame:
+        return self.spark.createDataFrame(self._lineage_rows, schema=schemas.LINEAGE)
+
+    # ----------------------------------------------------- Upton-shaped APIs
+    def scrape(self) -> list:
+        """Reference-shaped output: flat list over (instance, pagination
+        page) in crawl order; text kind yields strings, list kind lists,
+        table kind the [headers, *rows] nesting (lib/upton.rb:337-345)."""
+        result = self.crawl()
+        rows = result.extracted.orderBy(
+            "seed_id", "instance_index", "pagination_index", "match_index"
+        ).collect()
+        kinds = {s.seed_id: s.extract_kind for s in self.seeds}
+        docs: dict[tuple, object] = {}
+        for r in rows:
+            key = (r["seed_id"], r["instance_index"], r["pagination_index"])
+            kind = kinds.get(r["seed_id"], "text")
+            if kind in ("text", "identity"):
+                docs[key] = r["text"]
+            else:
+                doc = docs.setdefault(key, [])
+                if kind == "list" and r["text"] is not None:
+                    doc.append(r["text"])
+                elif kind == "table" and r["row"] is not None:
+                    doc.append(list(r["row"]))
+        return [docs[k] for k in sorted(docs.keys())]
+
+    def scrape_to_csv(self, path: str, sep: str = ",") -> None:
+        """CSV/TSV sink with the reference's duck-typed explode: table-kind
+        documents write one line per row; list documents one line; text
+        documents one line (lib/upton.rb:169-199). Output is a text dir
+        (Spark-native sink); `sep`='\\t' gives TSV."""
+        result = self.crawl()
+        ex = result.extracted
+        kinds = {s.seed_id: s.extract_kind for s in self.seeds}
+        table_seeds = [sid for sid, k in kinds.items() if k == "table"]
+        list_seeds = [sid for sid, k in kinds.items() if k == "list"]
+        text_seeds = [sid for sid, k in kinds.items() if k in ("text", "identity")]
+        parts = []
+        if table_seeds:
+            parts.append(
+                ex.filter(F.col("seed_id").isin(table_seeds) & F.col("row").isNotNull()).select(
+                    "seed_id",
+                    "instance_index",
+                    "pagination_index",
+                    "match_index",
+                    F.array_join(
+                        F.transform("row", lambda c: _csv_quote(c, sep)), sep
+                    ).alias("line"),
+                )
+            )
+        if list_seeds:
+            parts.append(
+                ex.filter(F.col("seed_id").isin(list_seeds) & F.col("text").isNotNull())
+                .groupBy("seed_id", "instance_index", "pagination_index")
+                .agg(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("match_index", "text"))),
+                            lambda s: _csv_quote(s["text"], sep),
+                        ),
+                        sep,
+                    ).alias("line")
+                )
+                .withColumn("match_index", F.lit(0))
+                .select("seed_id", "instance_index", "pagination_index", "match_index", "line")
+            )
+        if text_seeds:
+            parts.append(
+                ex.filter(F.col("seed_id").isin(text_seeds)).select(
+                    "seed_id",
+                    "instance_index",
+                    "pagination_index",
+                    "match_index",
+                    _csv_quote(F.col("text"), sep).alias("line"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        (
+            out.orderBy("seed_id", "instance_index", "pagination_index", "match_index")
+            .select("line")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(path)
+        )
+
+    def scrape_to_tsv(self, path: str) -> None:
+        self.scrape_to_csv(path, sep="\t")
+
+
+def _demo() -> None:  # pragma: no cover - manual verification entry
+    """Run the flagship golden crawl (reference spec/upton_spec.rb:43-67)
+    over the fixture corpus and print the extracted headlines."""
+    from upton_spark.plans.session import get_spark
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    spark = get_spark("upton_spark_demo", cores=8, shuffle_partitions=8)
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    crawler = Crawler(spark, fixture_pages(spark), seeds)
+    for headline in crawler.scrape():
+        print(repr(headline))
+    crawler.lineage_df().show(truncate=False)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import sys
+
+    if "--demo" in sys.argv:
+        _demo()

@@ -73,9 +73,9 @@ def extract_table(html: str, table_selector: str) -> list[list[str]]:
     """Header row (all th under the matched nodes) followed by one row of td
     texts per tr — exactly the reference helper's shape, including the empty
     row a th-only tr produces (golden @east_timor_prime_ministers row 2)."""
-    if not html:
-        return []
-    root = parse_html(html)
+    # no short-circuit on empty html: the reference helper unconditionally
+    # emits the header row, so '' → [[]]
+    root = parse_html(html or "")
     matched = search(root, table_selector)
     output: list[list[str]] = []
     headers = [text_of(th) for th in css_select_many(matched, "th")]

@@ -89,6 +89,7 @@ EXTRACTED = T.StructType(
 # deferred-by-politeness carried on every snapshot commit).
 LINEAGE = T.StructType(
     [
+        T.StructField("phase", T.StringType(), False),  # index | instance
         T.StructField("round", T.IntegerType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("urls_seen", T.LongType(), True),

