@@ -36,6 +36,8 @@ maybe-seen subset. Per-round decision accounting is ONE aggregation job
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass
 from typing import Callable
 
@@ -143,7 +145,16 @@ class Crawler:
         max_instance_pages: int = 16,
         expected_url_capacity: int = 1 << 20,
         bloom_fpr: float = 1e-3,
+        index_sequential: bool = False,
     ):
+        self.index_sequential = index_sequential
+        # Scratch dir for per-round state materialization: parquet
+        # write+re-read truncates Catalyst lineage each round (the same thing
+        # a catalog snapshot commit does). localCheckpoint is NOT used — with
+        # pandas UDFs in the plan it falls off the SQL execution path and
+        # loses Python-worker reuse (~40s per call vs ~1s for this).
+        self._scratch = tempfile.mkdtemp(prefix="upton_spark_state_")
+        self._scratch_n = 0
         self.spark = spark
         self.pages = pages
         self.seeds = seeds
@@ -180,6 +191,12 @@ class Crawler:
         self._pages_latest: DataFrame | None = None
 
     # ------------------------------------------------------------------ util
+    def _materialize(self, df: DataFrame, label: str) -> DataFrame:
+        self._scratch_n += 1
+        path = os.path.join(self._scratch, f"{self._scratch_n:04d}_{label}")
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
     def pages_latest(self) -> DataFrame:
         """Latest capture per URL (dedup-latest on warc_ts — the as-of rule
         of SURVEY.md §2.3). Computed once per crawl; at scale this is an
@@ -190,7 +207,7 @@ class Crawler:
                 self.pages.withColumn("_rn", F.row_number().over(w))
                 .filter(F.col("_rn") == 1)
                 .select("url", "html")
-                .localCheckpoint(eager=False)
+                .cache()
             )
         return self._pages_latest
 
@@ -234,10 +251,121 @@ class Crawler:
         )
         dedup_ops.build_bloom(distinct_new, into=self._bloom)
         self._seen_count += n_new
-        return seen.unionByName(new_rows).localCheckpoint(eager=True)
+        return self._materialize(seen.unionByName(new_rows), "urls_seen")
 
     # ----------------------------------------------------------- index phase
     def run_index_phase(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        if self.index_sequential:
+            return self.run_index_phase_sequential(seen)
+        return self.run_index_phase_speculative(seen)
+
+    def run_index_phase_speculative(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Corpus-replay index phase: ONE distributed pass, no driver loop.
+
+        The reference's pagination chain is sequential only because page k's
+        *emptiness* gates page k+1 (lib/upton.rb:295-311) — the URLs
+        themselves are predictable. Against a replay corpus (where "fetch" is
+        a join, so speculative over-read is free) we can therefore generate
+        every candidate page URL up front with ``sequence``+``explode``, join
+        ``pages`` once, and recover the chain-termination semantics with a
+        window: a page belongs to the valid prefix iff no earlier page of its
+        seed was empty. Lineage counts only the valid prefix, so the
+        politeness sleep-count goldens hold exactly. A live-HTTP deployment
+        flips ``index_sequential=True`` to avoid speculative requests."""
+        index_seeds = self.seeds_df.filter(
+            (F.col("seed_url") != "") & F.col("index_selector").isNotNull()
+        )
+        cand = (
+            index_seeds.withColumn(
+                "page_k",
+                F.explode(
+                    F.when(
+                        F.col("paginated"),
+                        F.sequence(F.lit(0), F.col("pagination_max_pages") - 1),
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            .withColumn(
+                "pagination_index",
+                F.col("pagination_start_index") + F.col("page_k") * F.col("pagination_interval"),
+            )
+            .withColumn(
+                "next_url_raw",
+                next_index_page_url_udf(
+                    F.col("seed_url"),
+                    F.col("pagination_index"),
+                    F.col("paginated"),
+                    F.col("pagination_param"),
+                    F.col("pagination_max_pages"),
+                ),
+            )
+            .filter(F.col("next_url_raw") != "")
+            .withColumn("fetch_url", resolve_url_udf(F.col("next_url_raw"), F.col("seed_url")))
+            .withColumn("host", host_col(F.col("fetch_url")))
+        )
+        cand = dedup_ops.with_url_hashes(cand, "fetch_url")
+
+        fetched = cand.join(
+            self.pages_latest().withColumnRenamed("url", "fetch_url"), "fetch_url", "left"
+        ).withColumn("body_empty", F.col("html").isNull() | (F.length("html") == 0))
+        w = Window.partitionBy("seed_id").orderBy("page_k")
+        fetched = fetched.withColumn(
+            "empties_before",
+            F.coalesce(
+                F.sum(F.col("body_empty").cast("int")).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        ).withColumn("chain_valid", F.col("empties_before") == 0)
+        if self.index_cached:
+            seen_keys = seen.select("url_hash").distinct()
+            fetched = fetched.join(
+                seen_keys.withColumn("cache_hit", F.lit(True)), "url_hash", "left"
+            ).withColumn("cache_hit", F.coalesce("cache_hit", F.lit(False)))
+        else:
+            fetched = fetched.withColumn("cache_hit", F.lit(False))
+        fetched = self._materialize(fetched, "index_fetched")
+
+        pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+        decision = F.when(F.col("cache_hit"), "cache_hit").otherwise("fetched")
+        counts = {
+            (r["decision"], r["pid"]): r["count"]
+            for r in fetched.filter("chain_valid")
+            .select(decision.alias("decision"), pid.alias("pid"))
+            .groupBy("decision", "pid")
+            .count()
+            .collect()
+        }
+        n_live = sum(v for (d, _), v in counts.items() if d == "fetched")
+        if self.index_cached and n_live:
+            seen = self._mark_seen(
+                seen,
+                fetched.filter(F.col("chain_valid") & ~F.col("cache_hit")).select(
+                    F.col("fetch_url").alias("url")
+                ),
+                0,
+                n_live,
+            )
+        self._note_lineage("index", 0, counts)
+
+        links = (
+            fetched.filter(F.col("chain_valid") & ~F.col("body_empty"))
+            .withColumn(
+                "hrefs",
+                extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
+            )
+            .select(
+                "seed_id",
+                F.col("page_k").alias("page_round"),
+                F.posexplode_outer("hrefs").alias("pos", "url"),
+            )
+            .filter(F.col("pos").isNotNull())
+            .select("seed_id", "page_round", "pos", "url")
+        )
+        return self._materialize(links, "links"), seen
+
+    def run_index_phase_sequential(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Fetch paginated index chains, project links. Returns (links, seen).
 
         One pagination page per alive seed per round; a seed's chain stops on
@@ -249,7 +377,6 @@ class Crawler:
         state = (
             index_seeds.withColumn("pagination_index", F.col("pagination_start_index"))
             .withColumn("prev_url", F.lit(None).cast("string"))
-            .localCheckpoint(eager=True)
         )
         links_parts: list[DataFrame] = []
         round_no = 0
@@ -297,9 +424,10 @@ class Crawler:
                     _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
                 ),
             )
-            cand = polite_ops.admit_per_host(
-                cand, order_cols=("pagination_index", "seed_id")
-            ).localCheckpoint(eager=True)
+            cand = self._materialize(
+                polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id")),
+                "index_cand",
+            )
 
             admitted = cand.filter(F.col("admitted"))
             fetched = (
@@ -309,8 +437,8 @@ class Crawler:
                     "left",
                 )
                 .withColumn("body_empty", F.col("html").isNull() | (F.length("html") == 0))
-                .localCheckpoint(eager=True)
             )
+            fetched = self._materialize(fetched, "index_seq_fetched")
 
             pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
             decision = (
@@ -349,7 +477,7 @@ class Crawler:
                 .filter(F.col("pos").isNotNull())
                 .select("seed_id", "page_round", "pos", "url")
             )
-            links_parts.append(page_links.localCheckpoint(eager=True))
+            links_parts.append(self._materialize(page_links, "links_part"))
 
             # advance: admitted seeds move to the next pagination index and
             # survive only with a non-empty body; deferred seeds retry as-is.
@@ -362,7 +490,7 @@ class Crawler:
             deferred_state = cand.filter(~F.col("admitted")).select(
                 *seed_cols, "pagination_index", "prev_url"
             )
-            state = advanced.unionByName(deferred_state).localCheckpoint(eager=True)
+            state = self._materialize(advanced.unionByName(deferred_state), "index_state")
             round_no += 1
 
         if links_parts:
@@ -371,7 +499,7 @@ class Crawler:
                 links = links.unionByName(part)
         else:
             links = self.spark.createDataFrame([], schema=_LINKS_SCHEMA)
-        return links.localCheckpoint(eager=True), seen
+        return self._materialize(links, "links"), seen
 
     # -------------------------------------------------------- instance phase
     def build_frontier(self, links: DataFrame) -> DataFrame:
@@ -406,7 +534,7 @@ class Crawler:
             )
             .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
         )
-        return dedup_ops.with_url_hashes(frontier).localCheckpoint(eager=True)
+        return self._materialize(dedup_ops.with_url_hashes(frontier), "frontier")
 
     def run_fetch_rounds(
         self,
@@ -428,7 +556,7 @@ class Crawler:
         rounds_done = 0
         while rounds_done < max_rounds:
             queued = frontier.filter(F.col("status") == "queued")
-            if queued.rdd.isEmpty():
+            if queued.limit(1).count() == 0:
                 break
             # one fetch decision per distinct url; lowest-priority row wins
             w = Window.partitionBy("url_hash").orderBy("priority", "seed_id", "instance_index")
@@ -489,8 +617,8 @@ class Crawler:
                 .unionByName(
                     blocked.select("url_hash", "url", "host", F.lit("blocked").alias("decision"))
                 )
-                .localCheckpoint(eager=True)
             )
+            decisions = self._materialize(decisions, "decisions")
             counts = {
                 (r["decision"], r["pid"]): r["count"]
                 for r in decisions.withColumn("pid", pid)
@@ -530,8 +658,8 @@ class Crawler:
                     ).otherwise(F.col("status")),
                 )
                 .drop("_new_status")
-                .localCheckpoint(eager=True)
             )
+            frontier = self._materialize(frontier, "frontier_round")
             if self.catalog is not None:
                 self.catalog.commit(
                     round_no,
@@ -655,8 +783,8 @@ class Crawler:
         assert self.catalog is not None, "resume requires a catalog"
         snap = self.catalog.latest()
         assert snap is not None, "nothing to resume"
-        frontier = self.catalog.table(snap, "frontier").localCheckpoint(eager=True)
-        seen = self.catalog.table(snap, "urls_seen").localCheckpoint(eager=True)
+        frontier = self.catalog.table(snap, "frontier")
+        seen = self.catalog.table(snap, "urls_seen")
         links = (
             self.catalog.table(snap, "links")
             if "links" in snap.tables
@@ -712,7 +840,7 @@ class Crawler:
                 .withColumn("next_url", next_page(F.col("orig_url"), F.lit(k)))
                 .filter((F.col("next_url") != "") & (F.col("next_url") != F.col("url")))
             )
-            if nxt.rdd.isEmpty():
+            if nxt.limit(1).count() == 0:
                 break
             new_rows = dedup_ops.with_url_hashes(
                 nxt.select("seed_id", "instance_index", F.col("next_url").alias("url"))
@@ -723,7 +851,7 @@ class Crawler:
                 .withColumn("attempts", F.lit(0))
                 .withColumn("status", F.lit("queued"))
             )
-            frontier = frontier.unionByName(new_rows).localCheckpoint(eager=True)
+            frontier = self._materialize(frontier.unionByName(new_rows), "frontier_pag")
             frontier, seen = self.run_fetch_rounds(frontier, seen, phase=f"instance_pag_{k}")
         return frontier
 

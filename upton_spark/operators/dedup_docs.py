@@ -1,0 +1,211 @@
+"""Document-level deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The training-data-pipeline counterpart of the crawl's URL dedup: exact dedup
+is a hash groupBy (pure codegen); near-dup follows the classic
+shingle → MinHash signature → banded LSH → bucket join → exact-Jaccard
+verify pipeline. Signatures are computed in Arrow-batched pandas UDFs with
+numpy (deterministic CRC-based shingle hashing — never Python's salted
+``hash``); candidate generation and verification are DataFrame joins so
+Catalyst/AQE own the shuffle strategy.
+
+Scale notes: LSH banding means the only big shuffle is groupBy(band_hash) —
+at 100 TB the band table is (n_docs × n_bands) rows of two longs, and the
+pair join stays proportional to true-near-dup density instead of n².
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_dups, doc_ids)."""
+    return (
+        df.withColumn("text_hash", F.sha2(F.col(text_col), 256))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_dups"),
+            F.sort_array(F.collect_list(key_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        joined = " ".join(toks)
+        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # fixed seed → deterministic engine-wide
+    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """Add ``signature ARRAY<BIGINT>`` of MinHash values."""
+    a, b = _minhash_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            sh = _shingle_hashes(t, shingle_k)
+            # (a*x + b) mod p, min over shingles, per hash function
+            vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("signature", sig(F.col(text_col)))
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, key_col: str = "doc_id", n_bands: int = 16
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (a, b) pairs with
+    a < b. Bands are contiguous signature slices hashed JVM-side."""
+    rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
+    banded = (
+        signed.select(key_col, "signature")
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
+        .withColumn(
+            "band_hash",
+            F.xxhash64(
+                F.col("band"),
+                F.slice(
+                    "signature", F.col("band") * rows_per_band + 1, rows_per_band
+                ).cast("string"),
+            ),
+        )
+        .select(key_col, "band", "band_hash")
+    )
+    left = banded.withColumnRenamed(key_col, "a")
+    right = banded.withColumnRenamed(key_col, "b")
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (kills LSH false
+    positives — the same confirm-behind-the-filter pattern as the URL
+    Bloom)."""
+    docs = df.select(F.col(key_col), F.col(text_col))
+    joined = (
+        pairs.join(docs.withColumnRenamed(key_col, "a").withColumnRenamed(text_col, "text_a"), "a")
+        .join(docs.withColumnRenamed(key_col, "b").withColumnRenamed(text_col, "text_b"), "b")
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa, sb = set(_shingle_hashes(x, shingle_k)), set(_shingle_hashes(y, shingle_k))
+            union = len(sa | sb)
+            out.append(len(sa & sb) / union if union else 1.0)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", jac("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → exact verify."""
+    signed = minhash_signatures(df, text_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(signed, key_col, n_bands)
+    return verify_jaccard_pairs(pairs, df, key_col, text_col, shingle_k, threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token CRCs (sign-sum of bit contributions)."""
+
+    @F.pandas_udf(T.LongType())
+    def sh(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.fromiter((zlib.crc32(w.encode()) for w in toks), dtype=np.uint64)
+            # widen to 64 bits deterministically
+            hs = hs * np.uint64(0x9E3779B97F4A7C15)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            acc = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    val |= 1 << i
+            # to signed int64
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(key_col, F.col(text_col)).withColumn("simhash", sh(F.col(text_col))).drop(
+        text_col
+    )
+
+
+def char_jaccard_pairs(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text", sample_mod: int = 100
+) -> DataFrame:
+    """Character-set Jaccard over a deterministic key sample — fully
+    codegen-expressible (array_distinct/array_intersect/array_union), so it
+    carries a DuckDB oracle unlike the shingle pipelines."""
+    sampled = df.filter(F.col(key_col) % sample_mod == 0).select(
+        key_col,
+        F.array_remove(F.array_distinct(F.split(F.lower(text_col), "")), "").alias("chars"),
+    )
+    a = sampled.select(F.col(key_col).alias("a"), F.col("chars").alias("chars_a"))
+    b = sampled.select(F.col(key_col).alias("b"), F.col("chars").alias("chars_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("chars_a", "chars_b"))
+                / F.size(F.array_union("chars_a", "chars_b")),
+                4,
+            ).alias("char_jaccard"),
+        )
+    )

@@ -28,6 +28,11 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or cores
+    # make the engine importable in daemon/worker processes
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -38,6 +43,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # preload pandas/numpy/engine modules into the worker daemon so
+        # forked UDF workers don't pay a per-fork import storm (see
+        # upton_spark/spark_daemon.py)
+        .config("spark.python.daemon.module", "upton_spark.spark_daemon")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for key, value in (extra_conf or {}).items():
