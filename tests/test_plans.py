@@ -1,0 +1,90 @@
+"""Physical-plan shape checks — the scale contracts SURVEY.md §4 promises:
+filters pushed to the parquet scan, html column pruned except in extraction,
+broadcast joins for frontier/dim sides, single host exchange for politeness."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.01"
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_projection_pruning(spark, sf_dir):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_host_stats(spark, sf_dir))
+    # scan must read only the two needed columns, never text
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "source" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema
+
+
+def test_broadcast_dim_joins(spark, sf_dir):
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_region_rollup_sales(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_attach_bodies_streams_corpus_without_shuffle(spark):
+    """The body join must broadcast the frontier side and column-prune the
+    pages scan to (url, html) — no Exchange on the corpus."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    pages = fixture_pages(spark)
+    seeds = [
+        SeedSpec(0, url_list=[f"{BASE}/webinar.html"], extract_selector="h1",
+                 extract_kind="text", sleep_time_between_requests=0.0)
+    ]
+    crawler = Crawler(spark, pages, seeds, assume_unique_urls=True)
+    frontier = crawler.build_frontier(
+        spark.createDataFrame([], "seed_id int, page_round int, pos int, url string")
+    )
+    plan = plan_of(crawler.attach_bodies(frontier), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_politeness_single_host_exchange(spark, sf_dir):
+    """Admission ranking adds exactly one hash exchange keyed on the host
+    column (the same partitioning the frontier stores under)."""
+    from upton_spark.operators.politeness import admit_per_host
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("source").alias("host"),
+        F.col("doc_id").alias("priority"),
+        F.lit(5).alias("host_tokens"),
+    )
+    plan = plan_of(admit_per_host(docs, order_cols=("priority",)), mode="simple")
+    assert plan.count("Exchange hashpartitioning(host") == 1
+
+
+def test_codegen_covers_quality_stats(spark, sf_dir):
+    """Quality features must stay in whole-stage codegen (no Python eval)."""
+    from upton_spark.operators.textops import with_quality_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(with_quality_stats(docs), mode="simple")
+    assert "*(1)" in plan  # whole-stage codegen marker
+    assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython

@@ -146,8 +146,20 @@ class Crawler:
         expected_url_capacity: int = 1 << 20,
         bloom_fpr: float = 1e-3,
         index_sequential: bool = False,
+        assume_unique_urls: bool = False,
+        broadcast_frontier: bool = True,
     ):
         self.index_sequential = index_sequential
+        # corpus contract flags:
+        # - assume_unique_urls: pages has one capture per url (synthetic
+        #   corpora; Iceberg tables maintained by MERGE) -> skip the
+        #   dedup-latest window, which otherwise shuffles the full corpus.
+        # - broadcast_frontier: frontier/candidate side is broadcastable
+        #   (true until the frontier round outgrows ~a few GB; at 10^10 you
+        #   flip this off and bucket both sides by url instead), letting the
+        #   body join stream the pages scan with NO corpus shuffle.
+        self.assume_unique_urls = assume_unique_urls
+        self.broadcast_frontier = broadcast_frontier
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -192,6 +204,12 @@ class Crawler:
 
     # ------------------------------------------------------------------ util
     def _materialize(self, df: DataFrame, label: str) -> DataFrame:
+        """Pin round state as parquet + re-read. This BOTH truncates Catalyst
+        lineage (the iterative loop's plan otherwise grows combinatorially —
+        each round's frontier references the previous round several times)
+        AND matches what a catalog snapshot commit does at scale. cache() is
+        not a substitute: it keeps the logical plan, and planning time
+        explodes after a few rounds."""
         self._scratch_n += 1
         path = os.path.join(self._scratch, f"{self._scratch_n:04d}_{label}")
         df.write.mode("overwrite").parquet(path)
@@ -199,17 +217,48 @@ class Crawler:
 
     def pages_latest(self) -> DataFrame:
         """Latest capture per URL (dedup-latest on warc_ts — the as-of rule
-        of SURVEY.md §2.3). Computed once per crawl; at scale this is an
-        Iceberg partition-pruned scan + per-url window."""
+        of SURVEY.md §2.3). With assume_unique_urls the window (a full-corpus
+        shuffle) is skipped; at scale the same effect comes from Iceberg
+        MERGE keeping one row per url."""
         if self._pages_latest is None:
-            w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
-            self._pages_latest = (
-                self.pages.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("url", "html")
-                .cache()
-            )
+            if self.assume_unique_urls:
+                self._pages_latest = self.pages.select("url", "html")
+            else:
+                w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
+                self._pages_latest = (
+                    self.pages.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("url", "html")
+                )
         return self._pages_latest
+
+    def _join_bodies(self, small: DataFrame, url_col: str = "url") -> DataFrame:
+        """small ⟕ pages on url, without ever shuffling the corpus.
+
+        Spark cannot broadcast the PRESERVED side of an outer join (BuildRight
+        is unsupported for RightOuter — a plain left join here would silently
+        sort-merge-shuffle the whole corpus). So the outer join is decomposed:
+
+          matched   = pages ⋈ broadcast(small)         (inner, BuildRight ok)
+          unmatched = small ⟕̸ broadcast(matched urls)  (anti, NULL body)
+
+        Both corpus scans stream column-pruned (url+html, then url-only).
+        Past broadcastable frontier sizes set broadcast_frontier=False and
+        let AQE/SMJ handle it with bucketed tables."""
+        pl = self.pages_latest()
+        if url_col != "url":
+            pl = pl.withColumnRenamed("url", url_col)
+        if not self.broadcast_frontier:
+            return small.join(pl, url_col, "left")
+        matched = pl.join(F.broadcast(small), url_col, "inner")
+        matched_keys = matched.select(url_col).distinct()
+        unmatched = small.join(F.broadcast(matched_keys), url_col, "left_anti")
+        for field in pl.schema.fields:
+            if field.name != url_col:
+                unmatched = unmatched.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
+        return matched.unionByName(unmatched)
 
     def _empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], schema=schemas.URLS_SEEN)
@@ -242,14 +291,21 @@ class Crawler:
                 )
             )
 
-    def _mark_seen(self, seen: DataFrame, new_urls: DataFrame, round_no: int, n_new: int) -> DataFrame:
+    def _mark_seen(
+        self, seen: DataFrame, new_urls: DataFrame, round_no: int, n_new: int,
+        update_bloom: bool = True,
+    ) -> DataFrame:
         """seen ∪ new; merges the round's new URLs into the cumulative Bloom
-        via distributed partial bitmaps (driver OR-merge)."""
+        via distributed partial bitmaps (driver OR-merge). update_bloom may
+        be False ONLY when no later round will consult the filter — a stale
+        Bloom would produce false negatives, which (unlike false positives)
+        break the no-refetch contract."""
         distinct_new = dedup_ops.with_url_hashes(new_urls.select("url").distinct())
         new_rows = distinct_new.withColumn("first_round", F.lit(round_no)).select(
             "url_hash", "url", "first_round"
         )
-        dedup_ops.build_bloom(distinct_new, into=self._bloom)
+        if update_bloom:
+            dedup_ops.build_bloom(distinct_new, into=self._bloom)
         self._seen_count += n_new
         return self._materialize(seen.unionByName(new_rows), "urls_seen")
 
@@ -305,9 +361,9 @@ class Crawler:
         )
         cand = dedup_ops.with_url_hashes(cand, "fetch_url")
 
-        fetched = cand.join(
-            self.pages_latest().withColumnRenamed("url", "fetch_url"), "fetch_url", "left"
-        ).withColumn("body_empty", F.col("html").isNull() | (F.length("html") == 0))
+        fetched = self._join_bodies(cand, "fetch_url").withColumn(
+            "body_empty", F.col("html").isNull() | (F.length("html") == 0)
+        )
         w = Window.partitionBy("seed_id").orderBy("page_k")
         fetched = fetched.withColumn(
             "empties_before",
@@ -430,13 +486,8 @@ class Crawler:
             )
 
             admitted = cand.filter(F.col("admitted"))
-            fetched = (
-                admitted.join(
-                    self.pages_latest().withColumnRenamed("url", "fetch_url"),
-                    "fetch_url",
-                    "left",
-                )
-                .withColumn("body_empty", F.col("html").isNull() | (F.length("html") == 0))
+            fetched = self._join_bodies(admitted, "fetch_url").withColumn(
+                "body_empty", F.col("html").isNull() | (F.length("html") == 0)
             )
             fetched = self._materialize(fetched, "index_seq_fetched")
 
@@ -630,11 +681,15 @@ class Crawler:
             n_deferred = sum(v for (d, _), v in counts.items() if d == "deferred")
 
             if self.instance_cached and n_admitted:
+                # a later probe of the bloom happens only if more rounds run
+                # (deferred rows) or instance pagination will re-enter
+                will_probe_again = n_deferred > 0 or self.next_instance_page_url_fn is not None
                 seen = self._mark_seen(
                     seen,
                     decisions.filter(F.col("decision") == "fetched").select("url"),
                     round_no,
                     n_admitted,
+                    update_bloom=will_probe_again,
                 )
             self._note_lineage(phase, round_no, counts)
 
@@ -687,7 +742,7 @@ class Crawler:
         """Frontier rows + page bodies. Missing/blocked/empty-url rows get a
         NULL body → decoded '' — the reference's EMPTY_STRING fetch-failure
         encoding (lib/upton.rb:35, lib/upton/downloader.rb:67)."""
-        joined = frontier.join(self.pages_latest(), "url", "left")
+        joined = self._join_bodies(frontier, "url")
         return joined.withColumn(
             "html",
             F.when(F.col("status").isin("fetched", "cache_hit"), F.col("html")).otherwise(
@@ -775,6 +830,29 @@ class Crawler:
                 metrics={"phase": "final", "urls_seen": self._seen_count},
             )
         return result
+
+    def evict(self, urls: list[str]) -> None:
+        """Re-crawl eviction: forget URLs so the next crawl refetches them.
+
+        This is the deletion case a Bloom filter can't serve (north_star's
+        cuckoo-filter fallback — see operators.dedup.CuckooFilter): the
+        exact seen-set drops the rows via anti-join and the snapshot is
+        recommitted; the approximate layer for the next crawl is rebuilt
+        from the surviving rows (Bloom) or, in a long-lived service holding
+        the filter in memory, updated in place via CuckooFilter.delete."""
+        assert self.catalog is not None, "evict requires a catalog"
+        snap = self.catalog.latest()
+        assert snap is not None and "urls_seen" in snap.tables, "nothing to evict from"
+        seen = self.catalog.table(snap, "urls_seen")
+        gone = dedup_ops.with_url_hashes(
+            self.spark.createDataFrame([(u,) for u in urls], "url string")
+        ).select("url_hash")
+        remaining = seen.join(gone, "url_hash", "left_anti")
+        self.catalog.commit(
+            snap.round,
+            {"urls_seen": remaining},
+            metrics={"phase": "evict", "evicted": len(urls)},
+        )
 
     def resume(self, *, max_fetch_rounds: int = 64) -> CrawlResult:
         """Continue from the last committed snapshot: reload frontier/seen,

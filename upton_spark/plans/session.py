@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pages rows carry ~10-100KB html payloads; the 10k-record default
+        # would make ~0.3-1GB Arrow batches per task and melt the heap at
+        # 32 concurrent tasks (observed: futex/GC stall, 1 core busy).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.ui.enabled", "false")
         # preload pandas/numpy/engine modules into the worker daemon so
         # forked UDF workers don't pay a per-fork import storm (see

@@ -46,9 +46,16 @@ def _words(h: int, i: int, k0: int, n: int) -> str:
     return " ".join(_VOCAB[(h * 1000003 + i * 97 + (k0 + k) * 31) % v] for k in range(n))
 
 
-def _instance_html(h: int, i: int) -> str:
+# Pre-rendered paragraph pool: page (h, i) picks deterministically, so big
+# pages render fast while the downstream PARSE cost stays fully real.
+_PARA_POOL = [f"<p>{_words(j, j * 31 + 7, 5, 40)}</p>" for j in range(512)]
+
+
+def _instance_html(h: int, i: int, paragraphs: int = 4) -> str:
     title = f"Article {h}-{i}: {_words(h, i, 0, 4)}"
-    paras = "".join(f"<p>{_words(h, i, 10 + p * 40, 40)}</p>" for p in range(4))
+    paras = "".join(
+        _PARA_POOL[(h * 131 + i * 7 + p) % 512] for p in range(paragraphs)
+    )
     return (
         f"<html><head><meta charset=\"utf-8\"><title>{title}</title></head><body>"
         f'<h1 class="article-title">{title}</h1>'
@@ -80,6 +87,7 @@ def synth_pages(
     instances_per_host: int = 50,
     page_size: int = 50,
     skew: float = 0.7,
+    paragraphs: int = 4,
 ) -> DataFrame:
     """The ``pages`` corpus: every instance page + every non-empty index
     pagination page for every host (schemas.PAGES shape)."""
@@ -109,7 +117,7 @@ def synth_pages(
                 h, n, i = int(h), int(n), int(i)
                 if kind == "instance":
                     url = f"http://{host_name(h)}/article_{i}.html"
-                    html = _instance_html(h, i)
+                    html = _instance_html(h, i, paragraphs)
                 else:
                     url = f"http://{host_name(h)}/index.html?page={i}"
                     html = _index_html(h, i, page_size, n)
