@@ -8,9 +8,10 @@ names and rounding are aligned pairwise between the Spark and SQL sides;
 floating aggregates are rounded so cross-engine summation-order noise can't
 flip the value hash.
 
-Queries without an oracle entry (minhash/simhash/langid/LSH/rolling
-fingerprint) are genuinely non-SQL-expressible pipelines; the driver records
-the weaker rows-only check for them by design.
+Queries without an oracle entry (minhash/simhash/langid/rolling fingerprint,
+LSH buckets, IVF ANN, LSH near-dup, multimodal decode plumbing, the crawl
+engine itself) are genuinely non-SQL-expressible pipelines; the driver
+records the weaker rows-only check for them by design.
 """
 
 from __future__ import annotations
@@ -308,6 +309,76 @@ def q_hourly_events(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_product_type_profit(spark, sf_dir):
+    """TPC-H Q9-style star join through part + supplier + nation (covers the
+    remaining dimension tables; dims broadcast, fact never shuffled twice)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_hot_hosts_topk(spark, sf_dir):
+    """Top-k hot hosts by doc count (the skew monitor of SURVEY.md §2.5)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source"))
+    return (
+        counts.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter("host_rank <= 5")
+        .select("host_rank", "source", "n_docs", "total_chars")
+    )
+
+
+def q_bpe_token_stats(spark, sf_dir):
+    """BPE-ish subword counting (GPT-2-style pre-tokenizer regex family)."""
+    from upton_spark.operators.textops import bpe_ish_token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count_col(F.col("text")).cast("long").alias("n_subwords"),
+        F.length("text").cast("long").alias("n_chars_exact"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Webtext quality gate features (length/punct/stopword/token-shape)."""
+    from upton_spark.operators.textops import with_quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_quality_stats(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("quality_score", 4).alias("quality_score"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs on a deterministic sample."""
+    from upton_spark.operators.dedup_docs import word_ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter("lang = 'en'")
+    return word_ngram_jaccard_pairs(docs, n=3, sample_mod=25)
+
+
 def q_exact_dup_groups(spark, sf_dir):
     """Exact dedup groups by content hash with member list."""
     docs = _t(spark, sf_dir, "documents")
@@ -385,7 +456,48 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup baseline: brute-force pairs over a
+    deterministic sample, exact cosine, threshold filter (codegen dot
+    product; oracle via DuckDB list_cosine_similarity). The LSH-bucketed
+    scale path is q_embedding_near_dups_lsh."""
+    from upton_spark.operators.similarity import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id % 10 = 0")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("vec_a"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vec_b"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible pipelines) ---------------------
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (sample-trained, deterministic) →
+    cell assignment → nprobe-cell search. Rows-only: approximate by design."""
+    from upton_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+        with_ivf_cell,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, dim=64, n_centroids=16, sample_mod=5)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    return ivf_topk(with_ivf_cell(emb, cent), cent, qvec, k=10, nprobe=4)
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """Embedding near-dup at scale: LSH bucket candidates → exact cosine
+    verify (bucket-join shuffle only, never n²)."""
+    from upton_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, dim=64, threshold=0.3, n_planes=6)
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -425,6 +537,34 @@ def q_embedding_lsh_buckets(spark, sf_dir):
         with_lsh_bucket(emb, dim=64, n_planes=8)
         .groupBy("lsh_bucket")
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload → decode(stub)/resize/featurize
+    via mapInPandas; per-media-type rollup of real Spark-side stats.
+    Rows-only: the decode stub is engine-internal, not SQL."""
+    from upton_spark.operators.multimodal import decode_and_featurize, synth_media
+
+    media = synth_media(spark, n_assets=96)
+    feats = decode_and_featurize(media, resize_to=(8, 8))
+    typed = feats.join(media.select("asset_id", F.col("meta.media_type").alias("media_type")), "asset_id")
+    return typed.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_assets"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    )
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per sampled frame offset."""
+    from upton_spark.operators.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, n_assets=96).filter("meta.media_type = 'video'")
+    return (
+        frame_sample(media, every_ms=500)
+        .groupBy("asset_id")
+        .agg(F.count("*").cast("long").alias("n_frames"))
     )
 
 
@@ -472,19 +612,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_linestatus": q_pivot_linestatus,
         "sessionization": q_sessionization,
         "hourly_events": q_hourly_events,
+        "product_type_profit": q_product_type_profit,
+        "hot_hosts_topk": q_hot_hosts_topk,
         # training-data pipeline
+        "bpe_token_stats": q_bpe_token_stats,
+        "quality_scores": q_quality_scores,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "token_stats": q_token_stats,
         "lang_distribution": q_lang_distribution,
         "fingerprint_md5": q_fingerprint_md5,
         "char_jaccard_pairs": q_char_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "simhash": q_simhash,
         "language_id": q_language_id,
         "fingerprint_rolling": q_fingerprint_rolling,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "multimodal_features": q_multimodal_features,
+        "media_frame_sample": q_media_frame_sample,
         "crawl_fixture_headlines": q_crawl_fixture_headlines,
     }
 
@@ -642,6 +792,69 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
+        "product_type_profit": """
+            SELECT n_name, p_type,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name, p_type
+        """,
+        "hot_hosts_topk": """
+            SELECT host_rank, source, n_docs, total_chars
+            FROM (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(row_number() OVER (ORDER BY count(*) DESC, source) AS BIGINT) AS host_rank
+              FROM documents GROUP BY source
+            ) WHERE host_rank <= 5
+        """,
+        "bpe_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+                   CAST(length(text) AS BIGINT) AS n_chars_exact
+            FROM documents
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(mean_token_len, 4) AS mean_token_len,
+                   round(punct_ratio, 4) AS punct_ratio,
+                   round(CASE WHEN n_tokens >= 5 AND mean_token_len BETWEEN 2.0 AND 12.0
+                              THEN 1.0 - least(1.0, punct_ratio * 4)
+                              ELSE 0.0 END, 4) AS quality_score
+            FROM (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens > 0 THEN CAST(n_chars_c AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_token_len,
+                     CASE WHEN n_chars_c > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_c ELSE 0.0 END AS punct_ratio
+              FROM (
+                SELECT doc_id,
+                       length(text) AS n_chars_c,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(text) - length(regexp_replace(text, '[.,;:!?"''()]', '', 'g')) AS n_punct
+                FROM documents
+              )
+            )
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sampled AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(0, len(words) - 2),
+                                   i -> array_to_string(words[i+1:i+3], ' '))) AS grams
+              FROM (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS words
+                FROM documents WHERE lang = 'en' AND doc_id % 25 = 0
+              ) WHERE len(words) >= 3
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.grams, b.grams)) /
+                         len(list_distinct(list_concat(a.grams, b.grams))), 4) AS ngram_jaccard
+            FROM sampled a JOIN sampled b ON a.doc_id < b.doc_id
+        """,
         "exact_dup_groups": """
             SELECT sha256(text) AS text_hash,
                    CAST(count(*) AS BIGINT) AS n_dups,
@@ -675,6 +888,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.doc_id < b.doc_id
             WHERE a.lang = 'en' AND b.lang = 'en'
               AND a.doc_id % 20 = 0 AND b.doc_id % 20 = 0
+        """,
+        "embedding_cosine_pairs": """
+            WITH s AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id % 10 = 0
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -9,43 +9,58 @@ line:
    "queries": {name: sec, ...}, "sf": ...,
    "frontier": {"urls": N, "seconds": s, "urls_per_sec": r}}
 
-Corpus size scales with env:
-  SPARK_GRAFT_BENCH_HOSTS (default 100), SPARK_GRAFT_BENCH_IPP (default 40).
+The crawl corpus is THE scaling-bench corpus (same hosts/ipp/page size as
+scripts/scaling_bench.py, cached at the same path), so the per-round
+frontier number is directly comparable to BENCH/BASELINE.md. Overridable:
+  SPARK_GRAFT_SCALE_HOSTS (600), SPARK_GRAFT_SCALE_IPP (100),
+  SPARK_GRAFT_SCALE_PARAGRAPHS (600), SPARK_GRAFT_SCALE_CORPUS (path).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_crawl_bench(spark, n_hosts: int, ipp: int, workdir: str) -> dict:
+def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path: str) -> dict:
     from pyspark.sql import functions as F
 
     from upton_spark.crawler import Crawler
     from upton_spark.sources.corpus import synth_pages, synth_seeds
 
-    corpus_path = os.path.join(workdir, f"corpus_{n_hosts}_{ipp}")
-    if not os.path.exists(corpus_path):
-        synth_pages(spark, n_hosts=n_hosts, instances_per_host=ipp).write.mode(
-            "overwrite"
-        ).parquet(corpus_path)
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        synth_pages(
+            spark, n_hosts=n_hosts, instances_per_host=ipp, paragraphs=paragraphs
+        ).write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
     seeds = synth_seeds(n_hosts, ipp)
 
-    # warmup: tiny crawl to populate the Python worker pool / codegen caches
-    # so we measure steady-state throughput, not JVM+fork warmup
-    Crawler(spark, pages, seeds[: max(2, n_hosts // 50)]).crawl()
+    # warmup: small crawl, extraction FORCED (crawl() alone leaves the
+    # extraction lazy) so the full Python worker pool is forked and the
+    # codegen/Arrow paths are hot before the measured run
+    wres = Crawler(
+        spark, pages, seeds[: max(2, n_hosts // 50)], assume_unique_urls=True
+    ).crawl()
+    wres.extracted.agg(F.sum(F.length("text"))).collect()
 
     t0 = time.time()
-    crawler = Crawler(spark, pages, seeds, expected_url_capacity=1 << 20)
+    # synth corpus holds exactly one capture per url (corpus.py contract) ->
+    # skip the dedup-latest window, the one full-corpus shuffle; at scale the
+    # same invariant comes from Iceberg MERGE on url
+    crawler = Crawler(
+        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True
+    )
     result = crawler.crawl()
-    n_extracted = result.extracted.count()
+    # one action that FORCES the extraction UDF (a bare count() would let
+    # Catalyst prune the unused text column and skip extraction entirely)
+    row = result.extracted.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("text_bytes")
+    ).collect()[0]
+    n_extracted, text_bytes = row["n"], row["text_bytes"]
     n_frontier = result.frontier.count()
     dt = time.time() - t0
     urls = n_frontier + n_extracted  # scheduled + extracted
@@ -54,6 +69,7 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, workdir: str) -> dict:
         "instances_per_host": ipp,
         "frontier_rows": n_frontier,
         "extracted_rows": n_extracted,
+        "extracted_text_bytes": int(text_bytes or 0),
         "urls": urls,
         "seconds": round(dt, 2),
         "urls_per_sec": round(urls / dt, 1),
@@ -83,10 +99,14 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-    n_hosts = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "300"))
-    ipp = int(os.environ.get("SPARK_GRAFT_BENCH_IPP", "60"))
-    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/upton_spark_bench")
-    os.makedirs(workdir, exist_ok=True)
+    n_hosts = int(os.environ.get("SPARK_GRAFT_SCALE_HOSTS", "600"))
+    ipp = int(os.environ.get("SPARK_GRAFT_SCALE_IPP", "100"))
+    paragraphs = int(os.environ.get("SPARK_GRAFT_SCALE_PARAGRAPHS", "600"))
+    corpus_path = os.environ.get(
+        "SPARK_GRAFT_SCALE_CORPUS",
+        f"/tmp/upton_spark_bench/scale_corpus_{n_hosts}x{ipp}x{paragraphs}",
+    )
+    os.makedirs(os.path.dirname(corpus_path), exist_ok=True)
 
     import __spark_entry__ as entrymod
     from upton_spark.plans.session import get_spark
@@ -97,7 +117,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
 
-    frontier_stats = run_crawl_bench(spark, n_hosts, ipp, workdir)
+    frontier_stats = run_crawl_bench(spark, n_hosts, ipp, paragraphs, corpus_path)
     timings["frontier_crawl"] = frontier_stats["seconds"]
     total += frontier_stats["seconds"]
 

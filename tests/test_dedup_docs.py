@@ -1,0 +1,95 @@
+"""Document-dedup operator tests: exact groups, MinHash+LSH end-to-end
+detection, simhash stability/locality, n-gram Jaccard.
+
+Reference parity note: the reference's only dedup is the URL stash
+(lib/upton/downloader.rb:126-128); these operators are the engine-side
+training-data-pipeline extensions (SURVEY.md §2.4 'distinct' + the
+dedup mandate in the build brief).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from upton_spark.operators.dedup_docs import (
+    exact_duplicates,
+    near_duplicates_minhash,
+    simhash,
+    word_ngram_jaccard_pairs,
+)
+
+BASE = (
+    "the city council approved the water budget after a public review of the "
+    "county audit records and the school health program for the fiscal year "
+) * 6
+NEAR = BASE + "with one extra trailing clause appended"
+OTHER = (
+    "completely unrelated text about migratory bird patterns over coastal "
+    "wetlands during early spring observation seasons near the estuary "
+) * 6
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en"),
+        (25, NEAR, "en"),  # near-dup of 0
+        (50, OTHER, "en"),
+        (75, BASE, "en"),  # exact dup of 0
+        (100, "tiny", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert sorted(groups[0]["doc_ids"]) == [0, 75]
+
+
+def test_minhash_detects_near_and_exact_dups(docs):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in near_duplicates_minhash(docs, threshold=0.5).collect()
+    }
+    assert (0, 75) in pairs and pairs[(0, 75)] == 1.0  # exact dup
+    assert (0, 25) in pairs and pairs[(0, 25)] > 0.5  # near dup survives verify
+    assert all(50 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_minhash_verify_kills_false_positives(docs):
+    # at threshold 0.999 only the exact dup survives the exact-Jaccard verify
+    pairs = [
+        (r["a"], r["b"]) for r in near_duplicates_minhash(docs, threshold=0.999).collect()
+    ]
+    assert pairs == [(0, 75)]
+
+
+def test_simhash_deterministic_and_local(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sh == sh2  # deterministic across runs
+    assert sh[0] == sh[75]  # identical text → identical hash
+    hd_near = bin((sh[0] ^ sh[25]) & ((1 << 64) - 1)).count("1")
+    hd_far = bin((sh[0] ^ sh[50]) & ((1 << 64) - 1)).count("1")
+    assert hd_near < hd_far  # locality: near-dup closer in Hamming space
+
+
+def test_word_ngram_jaccard(docs):
+    pairs = {
+        (r["a"], r["b"]): r["ngram_jaccard"]
+        for r in word_ngram_jaccard_pairs(docs, n=3, sample_mod=25).collect()
+    }
+    assert pairs[(0, 75)] == 1.0
+    assert 0.5 < pairs[(0, 25)] < 1.0
+    assert pairs[(0, 50)] == 0.0
+    # doc 100 has < 3 tokens → excluded entirely
+    assert all(100 not in p for p in pairs)
+
+
+def test_minhash_plan_has_no_cartesian(docs):
+    plan = near_duplicates_minhash(docs, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

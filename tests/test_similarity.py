@@ -1,0 +1,103 @@
+"""Similarity-search operator tests: brute-force cosine top-k, hyperplane
+LSH, IVF (train → assign → nprobe search), embedding near-dup pairs.
+
+Engine-side capability (no reference counterpart): ANN over the
+``embeddings`` table per the build brief's similarity-search mandate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from upton_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+    with_ivf_cell,
+    with_lsh_bucket,
+)
+
+DIM = 16
+N = 120
+
+
+def _vec(i: int) -> list[float]:
+    """Deterministic clustered vectors: 4 clusters on distinct axes with a
+    small per-id perturbation."""
+    base = np.zeros(DIM)
+    base[(i % 4) * 4] = 1.0
+    base[(i % 4) * 4 + 1] = 0.2 + 0.001 * i
+    return [float(x) for x in base]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, _vec(i)) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(emb):
+    rows = brute_force_topk(emb, _vec(0), k=5).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    # every result is from cluster 0 (vec_id % 4 == 0) — same axis
+    assert all(r["vec_id"] % 4 == 0 for r in rows)
+    assert [r["cosine"] for r in rows] == sorted((r["cosine"] for r in rows), reverse=True)
+
+
+def test_lsh_topk_finds_own_cluster(emb):
+    bucketed = with_lsh_bucket(emb, dim=DIM, n_planes=6)
+    rows = lsh_topk(bucketed, _vec(0), dim=DIM, k=5, n_planes=6).collect()
+    assert rows and rows[0]["vec_id"] == 0
+    assert all(r["vec_id"] % 4 == 0 for r in rows)
+
+
+def test_ivf_assignment_and_search(emb):
+    cent = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
+    assert cent.shape == (4, DIM)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0)
+    celled = with_ivf_cell(emb, cent)
+    # members of one true cluster land in one IVF cell
+    cells = (
+        celled.withColumn("cluster", F.col("vec_id") % 4)
+        .groupBy("cluster")
+        .agg(F.countDistinct("ivf_cell").alias("n_cells"))
+        .collect()
+    )
+    assert all(r["n_cells"] == 1 for r in cells)
+    rows = ivf_topk(celled, cent, _vec(0), k=5, nprobe=1).collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["cosine"] == 1.0
+    assert all(r["vec_id"] % 4 == 0 for r in rows)
+
+
+def test_ivf_deterministic(emb):
+    c1 = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
+    c2 = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
+    assert np.array_equal(c1, c2)
+
+
+def test_embedding_near_dup_pairs(emb):
+    pairs = embedding_near_dup_pairs(emb, dim=DIM, threshold=0.99, n_planes=6).collect()
+    assert pairs  # same-cluster ids are ~identical vectors
+    for r in pairs:
+        assert r["a"] % 4 == r["b"] % 4
+        assert r["cosine"] >= 0.99
+    plan = embedding_near_dup_pairs(emb, dim=DIM, threshold=0.99)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_matches_numpy(emb):
+    got = {
+        r["vec_id"]: r["cosine"]
+        for r in brute_force_topk(emb, _vec(1), k=N, id_col="vec_id").collect()
+    }
+    q = np.array(_vec(1))
+    for i in [0, 1, 2, 57]:
+        v = np.array(_vec(i))
+        want = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+        assert math.isclose(got[i], round(want, 6), abs_tol=2e-6)

@@ -753,7 +753,12 @@ class Crawler:
     def extract(self, frontier_with_body: DataFrame) -> DataFrame:
         """Apply the per-seed extraction block; one branch per kind, unioned
         (a CASE over Python UDFs would evaluate every UDF on every row —
-        BatchEvalPython hoists them — so we split instead)."""
+        BatchEvalPython hoists them — so we split instead).
+
+        Branches are built only for kinds actually present in the seed list:
+        every branch's plan re-scans the body join (html decompressed per
+        branch), so an always-4-way union would cost 4 full corpus scans
+        even when every seed is kind='text'."""
         df = frontier_with_body.join(
             F.broadcast(self.seeds_df.select("seed_id", "extract_selector", "extract_kind")),
             "seed_id",
@@ -761,37 +766,42 @@ class Crawler:
         )
         keys = ["url", "seed_id", "instance_index", "pagination_index"]
         null_row = F.lit(None).cast(T.ArrayType(T.StringType()))
+        kinds_present = {s.extract_kind for s in self.seeds} or {"text"}
         parts: list[DataFrame] = []
 
-        parts.append(
-            df.filter(F.col("extract_kind") == "text").select(
-                *keys,
-                F.lit(0).alias("match_index"),
-                extract_text_udf(F.col("html"), F.col("extract_selector")).alias("text"),
-                null_row.alias("row"),
+        if "text" in kinds_present:
+            parts.append(
+                df.filter(F.col("extract_kind") == "text").select(
+                    *keys,
+                    F.lit(0).alias("match_index"),
+                    extract_text_udf(F.col("html"), F.col("extract_selector")).alias("text"),
+                    null_row.alias("row"),
+                )
             )
-        )
-        parts.append(
-            df.filter(F.col("extract_kind") == "identity").select(
-                *keys,
-                F.lit(0).alias("match_index"),
-                decode_html_udf(F.col("html")).alias("text"),
-                null_row.alias("row"),
+        if "identity" in kinds_present:
+            parts.append(
+                df.filter(F.col("extract_kind") == "identity").select(
+                    *keys,
+                    F.lit(0).alias("match_index"),
+                    decode_html_udf(F.col("html")).alias("text"),
+                    null_row.alias("row"),
+                )
             )
-        )
-        parts.append(
-            df.filter(F.col("extract_kind") == "list")
-            .withColumn("items", extract_list_udf(F.col("html"), F.col("extract_selector")))
-            .select(*keys, F.posexplode_outer("items").alias("match_index", "text"))
-            .withColumn("row", null_row)
-        )
-        parts.append(
-            df.filter(F.col("extract_kind") == "table")
-            .withColumn("rows", extract_table_udf(F.col("html"), F.col("extract_selector")))
-            .select(*keys, F.posexplode_outer("rows").alias("match_index", "row"))
-            .withColumn("text", F.lit(None).cast("string"))
-            .select(*keys, "match_index", "text", "row")
-        )
+        if "list" in kinds_present:
+            parts.append(
+                df.filter(F.col("extract_kind") == "list")
+                .withColumn("items", extract_list_udf(F.col("html"), F.col("extract_selector")))
+                .select(*keys, F.posexplode_outer("items").alias("match_index", "text"))
+                .withColumn("row", null_row)
+            )
+        if "table" in kinds_present:
+            parts.append(
+                df.filter(F.col("extract_kind") == "table")
+                .withColumn("rows", extract_table_udf(F.col("html"), F.col("extract_selector")))
+                .select(*keys, F.posexplode_outer("rows").alias("match_index", "row"))
+                .withColumn("text", F.lit(None).cast("string"))
+                .select(*keys, "match_index", "text", "row")
+            )
 
         out = parts[0]
         for p in parts[1:]:

@@ -37,17 +37,39 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_
     )
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+# Odd multiplier for the positional shingle combine (splitmix64 constant).
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
+    """Distinct k-token shingle hashes, numpy-vectorized.
+
+    Each token is CRC32-hashed once (memoized across the Arrow batch via
+    ``_cache`` — webtext vocabulary is highly repetitive), then the k-window
+    combine is a sliding-window dot product with powers of an odd 64-bit
+    constant (uint64 wraparound arithmetic). Equivalent discriminating power
+    to hashing the joined shingle string, without materializing any joined
+    strings — the per-shingle cost drops from O(k·len(token)) string work to
+    one vectorized multiply-add."""
     toks = (text or "").lower().split()
-    if len(toks) < k:
-        joined = " ".join(toks)
-        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(" ".join(toks[i : i + k]).encode()) for i in range(len(toks) - k + 1)),
-            dtype=np.uint64,
-        )
+    if _cache is None:
+        _cache = {}
+    th = np.fromiter(
+        (
+            _cache[t] if t in _cache else _cache.setdefault(t, zlib.crc32(t.encode()))
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
     )
+    if len(toks) < k:
+        acc = np.uint64(k)  # length-salt so short docs of equal prefix differ
+        for v in th:
+            acc = acc * _SHINGLE_C + v
+        return np.array([acc], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(th, k)
+    weights = _SHINGLE_C ** np.arange(k, dtype=np.uint64)
+    return np.unique(windows @ weights)
 
 
 def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -66,8 +88,9 @@ def minhash_signatures(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(text: pd.Series) -> pd.Series:
         out = []
+        cache: dict = {}  # token-hash memo shared across the Arrow batch
         for t in text:
-            sh = _shingle_hashes(t, shingle_k)
+            sh = _shingle_hashes(t, shingle_k, cache)
             # (a*x + b) mod p, min over shingles, per hash function
             vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
             out.append(vals.min(axis=0).astype(np.int64).tolist())
@@ -126,10 +149,14 @@ def verify_jaccard_pairs(
     @F.pandas_udf(T.DoubleType())
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = []
+        cache: dict = {}
         for x, y in zip(ta, tb):
-            sa, sb = set(_shingle_hashes(x, shingle_k)), set(_shingle_hashes(y, shingle_k))
-            union = len(sa | sb)
-            out.append(len(sa & sb) / union if union else 1.0)
+            sa = _shingle_hashes(x, shingle_k, cache)
+            sb = _shingle_hashes(y, shingle_k, cache)
+            # both sides are sorted-unique arrays; intersect1d beats set ops
+            n_inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - n_inter
+            out.append(n_inter / union if union else 1.0)
         return pd.Series(out)
 
     return (
@@ -172,16 +199,55 @@ def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> D
                 np.int64
             )
             acc = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    val |= 1 << i
+            val = int(
+                ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+                    dtype=np.uint64
+                )
+            )
             # to signed int64
             out.append(val - (1 << 64) if val >= (1 << 63) else val)
         return pd.Series(out, dtype="int64")
 
     return df.select(key_col, F.col(text_col)).withColumn("simhash", sh(F.col(text_col))).drop(
         text_col
+    )
+
+
+def word_ngram_jaccard_pairs(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    sample_mod: int = 25,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup over a deterministic key sample — the
+    exact-set sibling of the MinHash estimate, fully JVM-side (split →
+    transform/slice n-grams → array_intersect/array_union), so it carries a
+    DuckDB oracle. Docs shorter than n tokens are excluded (no stable
+    cross-engine semantics for degenerate grams)."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+    sampled = (
+        df.filter(F.col(key_col) % sample_mod == 0)
+        .withColumn("_words", words)
+        .filter(F.size("_words") >= n)
+        .select(key_col, grams.alias("grams"))
+    )
+    a = sampled.select(F.col(key_col).alias("a"), F.col("grams").alias("grams_a"))
+    b = sampled.select(F.col(key_col).alias("b"), F.col("grams").alias("grams_b"))
+    return a.join(b, F.col("a") < F.col("b")).select(
+        "a",
+        "b",
+        F.round(
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b")),
+            4,
+        ).alias("ngram_jaccard"),
     )
 
 

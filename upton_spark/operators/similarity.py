@@ -78,6 +78,110 @@ def with_lsh_bucket(
     return embeddings.withColumn("lsh_bucket", bucket(F.col(vec_col)))
 
 
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 1,
+    n_iters: int = 5,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a deterministic key-sampled subset.
+
+    The sample (``id % sample_mod == 0``) is collected to the driver — at
+    100 TB you train on a bounded sample exactly like this (centroids are a
+    (k, dim) matrix regardless of corpus size); assignment stays fully
+    distributed. Deterministic: seeded init from the sample itself, fixed
+    Lloyd iteration count, no RNG in the loop."""
+    sample = (
+        embeddings.filter(F.col(id_col) % sample_mod == 0)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    mat = np.array(sample.tolist(), dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(29)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def with_ivf_cell(
+    embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Assign every vector its nearest-centroid cell id (one matmul per
+    Arrow batch — the distributed half of the IVF index)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("ivf_cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    embeddings_with_cell: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only the ``nprobe`` cells nearest the query
+    (partition-pruned scan when the table is written partitioned by cell)."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cent @ q))[:nprobe]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings_with_cell.filter(F.col("ivf_cell").isin([int(c) for c in order]))
+        .select(F.col(id_col), F.round(cosine_col(F.col(vec_col), qcol), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucket self-join candidates, exact
+    cosine verify — the vector sibling of MinHash near-dup. The only shuffle
+    is the bucket exchange; the pair join is proportional to bucket density,
+    never n²."""
+    bucketed = with_lsh_bucket(embeddings, dim, n_planes, vec_col).select(
+        id_col, vec_col, "lsh_bucket"
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("vec_a"), "lsh_bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vec_b"), "lsh_bucket"
+    )
+    return (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_topk(
     embeddings_with_bucket: DataFrame,
     query_vec: list[float],

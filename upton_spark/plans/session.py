@@ -46,12 +46,23 @@ def get_spark(
         # would make ~0.3-1GB Arrow batches per task and melt the heap at
         # 32 concurrent tasks (observed: futex/GC stall, 1 core busy).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # same story for the parquet vectorized reader: its default 4096-row
+        # columnar batch is ~680MB of html per task in flight — 32 concurrent
+        # tasks OOM a 32g heap. 256 rows ≈ 40MB/task at 150KB/page.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+        # html-heavy parquet compresses 20-40x (repetitive markup): a default
+        # 128MB split decompresses to multi-GB per task and OOMs the heap at
+        # full task concurrency. 16MB splits keep per-task working sets
+        # bounded at any compression ratio (spill-aware sizing, SURVEY.md §4).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         # preload pandas/numpy/engine modules into the worker daemon so
         # forked UDF workers don't pay a per-fork import storm (see
         # upton_spark/spark_daemon.py)
         .config("spark.python.daemon.module", "upton_spark.spark_daemon")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap; the host
+        # has 128 GiB, so size for 32 concurrent html-bearing tasks.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -29,13 +29,16 @@ import upton_spark.operators.dedup  # noqa: F401
 import gc
 
 # Instagram-style fork hygiene: freeze the post-import heap into the
-# permanent generation and stop the cyclic GC from traversing (and
-# copy-on-write-unsharing) it in every forked worker. Refcount updates
-# still touch pages, but the bulk COW storm at pool-growth time drops
-# from ~300MB/worker to the working set.
+# permanent generation so forked workers never traverse (and
+# copy-on-write-unshare) it. The cyclic GC stays ENABLED with a raised
+# gen-0 threshold: the DOM trees built by the extraction UDFs carry
+# parent<->children reference cycles, so with collection disabled every
+# parsed page would leak (observed: 32 workers OOM-killed mid-stage).
+# freeze() alone keeps the COW win; the raised threshold amortizes the
+# collector over ~50k allocations.
 gc.collect()
 gc.freeze()
-gc.set_threshold(0)
+gc.set_threshold(50_000, 20, 20)
 
 from pyspark.daemon import manager
 
