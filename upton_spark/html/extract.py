@@ -19,9 +19,15 @@ which is Nokogiri's behavior and the byte-identity contract.
 
 from __future__ import annotations
 
+import os
+
 from upton_spark.html.dom import Element, parse_html
 from upton_spark.html.selector import css_select_many, search
 from upton_spark.urlkit import resolve_url_or_none
+
+
+def _streaming_enabled() -> bool:
+    return os.environ.get("UPTON_SPARK_HTML_STREAM", "1") != "0"
 
 
 def text_of(el: Element) -> str:
@@ -46,26 +52,44 @@ def node_set_text(nodes: list[Element]) -> str:
 def extract_links(html: str, selector: str, base_url: str) -> list[str | None]:
     """Hrefs of matched elements in document order; anchors without an href
     yield None (kept — golden spec/unit/parsing_spec.rb:33-38); relative
-    hrefs resolved against ``base_url``."""
+    hrefs resolved against ``base_url``.
+
+    Hot path: streaming SAX match (selector pushdown into the tokenizer, no
+    DOM allocation) for the compound/descendant/child selector family; DOM
+    engine for everything else."""
     if not html:
         return []
-    matches = search(parse_html(html), selector)
-    out: list[str | None] = []
-    for el in matches:
-        href = el.get("href")
-        out.append(resolve_url_or_none(href, base_url) if href is not None else None)
-    return out
+    hrefs: list[str | None] | None = None
+    if _streaming_enabled():
+        from upton_spark.html.sax import stream_hrefs
+
+        hrefs = stream_hrefs(html, selector)
+    if hrefs is None:
+        hrefs = [el.get("href") for el in search(parse_html(html), selector)]
+    return [resolve_url_or_none(h, base_url) if h is not None else None for h in hrefs]
 
 
 def extract_text(html: str, selector: str) -> str:
     if not html:
         return ""
+    if _streaming_enabled():
+        from upton_spark.html.sax import stream_texts
+
+        texts = stream_texts(html, selector)
+        if texts is not None:
+            return "".join(texts)
     return node_set_text(search(parse_html(html), selector))
 
 
 def extract_list(html: str, selector: str) -> list[str]:
     if not html:
         return []
+    if _streaming_enabled():
+        from upton_spark.html.sax import stream_texts
+
+        texts = stream_texts(html, selector)
+        if texts is not None:
+            return texts
     return [text_of(el) for el in search(parse_html(html), selector)]
 
 
