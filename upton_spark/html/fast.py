@@ -64,19 +64,25 @@ def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
 
 def feed_events(builder, text: str) -> None:
     """Scan ``text`` and drive ``builder``'s handle_* callbacks (the same
-    interface HTMLParser drives)."""
+    interface HTMLParser drives).
+
+    If the builder exposes ``wants_data()`` (the streaming matcher does),
+    text segments are only sliced/entity-decoded while it returns True —
+    for a selective selector that skips copying ~the whole page."""
     pos = 0
     n = len(text)
     lower = None  # lazily lowered copy for raw-text close-tag search
     find = text.find
+    wants_data = getattr(builder, "wants_data", None)
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
-            data = text[pos:]
-            if data:
-                builder.handle_data(unescape(data) if "&" in data else data)
+            if wants_data is None or wants_data():
+                data = text[pos:]
+                if data:
+                    builder.handle_data(unescape(data) if "&" in data else data)
             break
-        if lt > pos:
+        if lt > pos and (wants_data is None or wants_data()):
             data = text[pos:lt]
             builder.handle_data(unescape(data) if "&" in data else data)
         m = _EVENT_RE.match(text, lt)
@@ -101,10 +107,12 @@ def feed_events(builder, text: str) -> None:
                         lower = text.lower()
                     close = lower.find("</" + tag, pos)
                     if close < 0:
-                        builder.handle_data(text[pos:])
+                        if wants_data is None or wants_data():
+                            builder.handle_data(text[pos:])
                         builder.handle_endtag(tag)
                         break
-                    builder.handle_data(text[pos:close])  # raw, undecoded
+                    if wants_data is None or wants_data():
+                        builder.handle_data(text[pos:close])  # raw, undecoded
                     gt = find(">", close)
                     pos = n if gt < 0 else gt + 1
                     builder.handle_endtag(tag)

@@ -225,6 +225,10 @@ class _StreamMatcher:
                     self._pop()
                 return
 
+    def wants_data(self) -> bool:
+        """Tokenizer hint: only slice/decode text while a capture is open."""
+        return bool(self.captures) if self.want_text else False
+
     def handle_data(self, data):
         if self.captures and data:
             for cap in self.captures:
