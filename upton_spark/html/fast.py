@@ -74,6 +74,7 @@ def feed_events(builder, text: str) -> None:
     lower = None  # lazily lowered copy for raw-text close-tag search
     find = text.find
     wants_data = getattr(builder, "wants_data", None)
+    wants_attrs = getattr(builder, "wants_attrs", None)
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -97,7 +98,14 @@ def feed_events(builder, text: str) -> None:
         start, attr_blob, selfclose, end = m.group("start", "attrs", "selfclose", "end")
         if start is not None:
             tag = start.lower()
-            attrs = _parse_attrs(attr_blob) if attr_blob and not attr_blob.isspace() else []
+            if (
+                attr_blob
+                and not attr_blob.isspace()
+                and (wants_attrs is None or wants_attrs(tag))
+            ):
+                attrs = _parse_attrs(attr_blob)
+            else:
+                attrs = []
             if selfclose:
                 builder.handle_startendtag(tag, attrs)
             else:

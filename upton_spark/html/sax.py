@@ -102,11 +102,27 @@ class _StreamMatcher:
     engine by construction.
     """
 
-    __slots__ = ("groups", "want_text", "stack", "captures", "results", "hrefs", "_empty_matched")
+    __slots__ = (
+        "groups", "want_text", "stack", "captures", "results", "hrefs",
+        "_empty_matched", "_attr_tags",
+    )
 
     def __init__(self, groups, want_text: bool):
         self.groups = groups  # list of (combs, comps)
         self.want_text = want_text
+        # tags that can start some compound (None = tagless compound like
+        # '#id' or '*', so every tag needs its attributes parsed); other
+        # tags can never match, so their attribute blobs are never read
+        tags: set[str] | None = set()
+        for _, comps in groups:
+            for comp in comps:
+                if comp.tag is None:
+                    tags = None
+                    break
+                tags.add(comp.tag)
+            if tags is None:
+                break
+        self._attr_tags = tags
         self._empty_matched = tuple(_EMPTY for _ in groups)
         # stack rows: (tag, per-group active sets, per-group matched sets)
         self.stack: list[tuple] = [("#document", self._empty_matched, self._empty_matched)]
@@ -228,6 +244,12 @@ class _StreamMatcher:
     def wants_data(self) -> bool:
         """Tokenizer hint: only slice/decode text while a capture is open."""
         return bool(self.captures) if self.want_text else False
+
+    def wants_attrs(self, tag: str) -> bool:
+        """Tokenizer hint: attribute blobs are only parsed for tags that can
+        start some compound — a tag outside every compound can never match,
+        and its attributes are never otherwise read."""
+        return self._attr_tags is None or tag in self._attr_tags
 
     def handle_data(self, data):
         if self.captures and data:
