@@ -568,6 +568,87 @@ def q_media_frame_sample(spark, sf_dir):
     )
 
 
+def q_crawl_lineage_politeness(spark, sf_dir):
+    """Per-round crawl lineage under a 1-token/host politeness budget
+    (reference sleep_time_between_requests, lib/upton.rb:96,220-223,
+    re-expressed as deferred-by-politeness counts). Rows-only: the crawl
+    engine's snapshot lineage is not SQL."""
+    from pyspark.sql import functions as F2
+
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=30.0,
+        )
+    ]
+    result = Crawler(spark, fixture_pages(spark), seeds, round_budget_s=30.0).crawl()
+    return (
+        result.lineage.groupBy("phase", "round")
+        .agg(
+            F2.sum("fetched").cast("long").alias("fetched"),
+            F2.sum("deferred_by_politeness").cast("long").alias("deferred"),
+            F2.max("urls_seen").cast("long").alias("urls_seen"),
+        )
+        .orderBy("phase", "round")
+    )
+
+
+def q_crawl_robots_gate(spark, sf_dir):
+    """robots.txt admission gating before enqueue (north_star): disallowed
+    URL surfaces as status=blocked, never fetched. Rows-only."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.operators.robots import robots_rules_df
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    robots = robots_rules_df(
+        spark, [("www.example.com", "User-agent: *\nDisallow: /prosecutor.html\n")]
+    )
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    result = Crawler(spark, fixture_pages(spark), seeds, robots=robots).crawl()
+    return result.frontier.select("url", "status").orderBy("url")
+
+
+def q_crawl_paginated_search(spark, sf_dir):
+    """Paginated index chain (?p=1,2; empty p=3 terminates — reference
+    spec/upton_spec.rb:139-171 golden) end-to-end. Rows-only."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica_search.html",
+            index_selector=".compact-list a.title-link",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            paginated=True,
+            pagination_param="p",
+            pagination_max_pages=3,
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    result = Crawler(spark, fixture_pages(spark), seeds).crawl()
+    return result.extracted.select("url", "instance_index", "text").orderBy(
+        "instance_index"
+    )
+
+
 def q_crawl_fixture_headlines(spark, sf_dir):
     """The reference flagship crawl (RSpec basic golden) end-to-end on the
     fixture corpus — crawl ordering + byte-identical extraction. Rows-only
@@ -636,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "crawl_fixture_headlines": q_crawl_fixture_headlines,
+        "crawl_lineage_politeness": q_crawl_lineage_politeness,
+        "crawl_robots_gate": q_crawl_robots_gate,
+        "crawl_paginated_search": q_crawl_paginated_search,
     }
 
 

@@ -88,3 +88,26 @@ def test_codegen_covers_quality_stats(spark, sf_dir):
     plan = plan_of(with_quality_stats(docs), mode="simple")
     assert "*(1)" in plan  # whole-stage codegen marker
     assert "EvalPython" not in plan  # no BatchEvalPython/ArrowEvalPython
+
+
+def test_extract_builds_only_present_kind_branches(spark):
+    """extract() must plan one body-join branch per extract_kind actually in
+    the seed list — an unconditional 4-way union costs 4 corpus scans
+    (regression guard for the branch-pruning fix)."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    pages = fixture_pages(spark)
+    seeds = [
+        SeedSpec(0, url_list=[f"{BASE}/webinar.html"], extract_selector="h1",
+                 extract_kind="text", sleep_time_between_requests=0.0)
+    ]
+    crawler = Crawler(spark, pages, seeds, assume_unique_urls=True)
+    frontier = crawler.build_frontier(
+        spark.createDataFrame([], "seed_id int, page_round int, pos int, url string")
+    )
+    plan = plan_of(crawler.extract(crawler.attach_bodies(frontier)), mode="simple")
+    # text kind only -> exactly one Python UDF eval in the plan
+    assert plan.count("extract_text_udf") == 1
+    assert "extract_table_udf" not in plan
+    assert "extract_list_udf" not in plan
