@@ -12,7 +12,7 @@ line:
 The crawl corpus is THE scaling-bench corpus (same hosts/ipp/page size as
 scripts/scaling_bench.py, cached at the same path), so the per-round
 frontier number is directly comparable to BENCH/BASELINE.md. Overridable:
-  SPARK_GRAFT_SCALE_HOSTS (600), SPARK_GRAFT_SCALE_IPP (200),
+  SPARK_GRAFT_SCALE_HOSTS (600), SPARK_GRAFT_SCALE_IPP (100),
   SPARK_GRAFT_SCALE_PARAGRAPHS (600), SPARK_GRAFT_SCALE_CORPUS (path).
 """
 
@@ -100,7 +100,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
     n_hosts = int(os.environ.get("SPARK_GRAFT_SCALE_HOSTS", "600"))
-    ipp = int(os.environ.get("SPARK_GRAFT_SCALE_IPP", "200"))
+    ipp = int(os.environ.get("SPARK_GRAFT_SCALE_IPP", "100"))
     paragraphs = int(os.environ.get("SPARK_GRAFT_SCALE_PARAGRAPHS", "600"))
     corpus_path = os.environ.get(
         "SPARK_GRAFT_SCALE_CORPUS",

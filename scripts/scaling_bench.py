@@ -23,7 +23,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 N_HOSTS = int(os.environ.get("SPARK_GRAFT_SCALE_HOSTS", "600"))
-IPP = int(os.environ.get("SPARK_GRAFT_SCALE_IPP", "200"))
+IPP = int(os.environ.get("SPARK_GRAFT_SCALE_IPP", "100"))
 # ~600 paragraphs ≈ 150 KB HTML/page — Common-Crawl-realistic page weight,
 # so the measured work is parse+extract compute, not per-task overhead.
 PARAGRAPHS = int(os.environ.get("SPARK_GRAFT_SCALE_PARAGRAPHS", "600"))
