@@ -56,6 +56,14 @@ QUIRKS = [
     "<p>multi\nline\ttext  spaces</p>",
     "<?xml version='1.0'?><p>pi</p>",
     '<a href="a.html" href="b.html">dup attr</a>',
+    # unquoted attribute values ending in '/' (HTML5: the slash is part of
+    # the value, NOT a self-close marker)
+    "<a href=http://example.com/>site</a>",
+    "<a href=http://e.com//>double</a>",
+    "<a href=/>rooted</a>",
+    "<a href = http://e.com/>spaced eq</a>",
+    "<img src=a.png/ alt=b><p>after</p>",
+    "<div data-path=/a/b/>slashes</div>",
 ]
 
 

@@ -98,6 +98,21 @@ def feed_events(builder, text: str) -> None:
         start, attr_blob, selfclose, end = m.group("start", "attrs", "selfclose", "end")
         if start is not None:
             tag = start.lower()
+            if selfclose and attr_blob and not attr_blob[-1].isspace() and attr_blob[-1] not in "\"'":
+                # HTML5: '/' inside an UNQUOTED attribute value is part of the
+                # value, not a self-close marker ('<a href=http://x/>' has
+                # href 'http://x/'). Only when the last attr match of
+                # blob+'/' consumes the slash as an unquoted value does the
+                # slash belong to the value (matches stdlib html.parser and
+                # Nokogiri). '<br foo/>' stays self-closing: a bare name
+                # cannot absorb '/'.
+                ext = attr_blob + "/"
+                last_m = None
+                for last_m in _ATTR_RE.finditer(ext):
+                    pass
+                if last_m is not None and last_m.end() == len(ext) and last_m.group(4):
+                    attr_blob = ext
+                    selfclose = ""
             if (
                 attr_blob
                 and not attr_blob.isspace()
