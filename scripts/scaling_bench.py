@@ -204,12 +204,12 @@ def main() -> None:
         return
     gen_corpus()
     results = {}
-    all_runs: dict[int, list] = {}
-    # best-of-N per level: the sandbox VM has noisy neighbors, so a single
-    # run measures the neighbor, not the engine; peak-of-3 measures capability
-    for cores in CORES:
-        runs = []
-        for _ in range(RUNS_PER_LEVEL):
+    all_runs: dict[int, list] = {c: [] for c in CORES}
+    # N interleaved runs per level (alternate levels each pass so a noisy
+    # neighbor hits both levels equally); the sandbox VM spreads identical
+    # runs 2-4x, so both peak and median are reported, all runs disclosed.
+    for _ in range(RUNS_PER_LEVEL):
+        for cores in CORES:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
                 capture_output=True,
@@ -221,10 +221,10 @@ def main() -> None:
             if not line:
                 print(out.stdout[-3000:], out.stderr[-3000:])
                 raise RuntimeError(f"child {cores} failed")
-            runs.append(json.loads(line[-1].removeprefix("SCALING_RESULT ")))
-            print(runs[-1])
-        all_runs[cores] = runs
-        results[cores] = max(runs, key=lambda r: r["urls_per_sec"])
+            all_runs[cores].append(json.loads(line[-1].removeprefix("SCALING_RESULT ")))
+            print(all_runs[cores][-1])
+    for cores in CORES:
+        results[cores] = max(all_runs[cores], key=lambda r: r["urls_per_sec"])
 
     write_report(CORES, results, all_runs)
 

@@ -89,6 +89,19 @@ Disallow: /only-for-us/
     def test_no_rules_allows(self):
         assert allowed("/anything", [])
 
+    def test_rep_literal_question_mark_and_brackets(self):
+        # REP's only wildcard is '*'; '?' and '[' are literal path chars —
+        # an fnmatch-style translation would treat them as metacharacters.
+        rules = [("disallow", "/search*?page=")]
+        assert not allowed("/search/results?page=2", rules)
+        assert allowed("/search/resultsXpage=2", rules)  # '?' must not match any char
+        rules = [("disallow", "/a[1]/")]
+        assert not allowed("/a[1]/x", rules)
+        assert allowed("/a1/x", rules)  # '[1]' is not a char class
+        rules = [("disallow", "/dl*.php$")]
+        assert not allowed("/dl/x.php", rules)
+        assert allowed("/dl/x.php?id=1", rules)
+
 
 class TestPoliteness:
     def test_tokens_for(self):

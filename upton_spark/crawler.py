@@ -36,7 +36,9 @@ maybe-seen subset. Per-round decision accounting is ONE aggregation job
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 from typing import Callable
@@ -149,6 +151,13 @@ class Crawler:
         assume_unique_urls: bool = False,
         broadcast_frontier: bool = True,
     ):
+        known_kinds = {"text", "list", "table", "identity"}
+        for s in seeds:
+            if s.extract_kind not in known_kinds:
+                raise ValueError(
+                    f"seed {s.seed_id}: unknown extract_kind {s.extract_kind!r} "
+                    f"(expected one of {sorted(known_kinds)})"
+                )
         self.index_sequential = index_sequential
         # corpus contract flags:
         # - assume_unique_urls: pages has one capture per url (synthetic
@@ -167,6 +176,10 @@ class Crawler:
         # loses Python-worker reuse (~40s per call vs ~1s for this).
         self._scratch = tempfile.mkdtemp(prefix="upton_spark_state_")
         self._scratch_n = 0
+        # Long-lived services would otherwise leak one scratch dir per
+        # crawler; results read lazily from these files, so removal is
+        # deferred to close() (explicit) or process exit.
+        atexit.register(self.close)
         self.spark = spark
         self.pages = pages
         self.seeds = seeds
@@ -203,6 +216,13 @@ class Crawler:
         self._pages_latest: DataFrame | None = None
 
     # ------------------------------------------------------------------ util
+    def close(self) -> None:
+        """Remove this crawler's scratch state. Call once the CrawlResult
+        DataFrames are no longer needed — they read lazily from scratch
+        parquet, so closing earlier invalidates them. Registered with atexit
+        as a backstop; safe to call twice."""
+        shutil.rmtree(self._scratch, ignore_errors=True)
+
     def _materialize(self, df: DataFrame, label: str) -> DataFrame:
         """Pin round state as parquet + re-read. This BOTH truncates Catalyst
         lineage (the iterative loop's plan otherwise grows combinatorially —
@@ -264,14 +284,18 @@ class Crawler:
         return self.spark.createDataFrame([], schema=schemas.URLS_SEEN)
 
     def _load_bloom_from(self, seen: DataFrame) -> int:
-        pdf = (
-            dedup_ops.with_url_hashes(seen.select("url"))
-            .select("url_hash", "url_hash32")
-            .toPandas()
-        )
-        if len(pdf):
-            self._bloom.add_hashes(pdf["url_hash"].to_numpy(), pdf["url_hash32"].to_numpy())
-        return len(pdf)
+        """Rebuild the cumulative Bloom from a persisted seen-set on resume.
+
+        Distributed: partition-local bitmaps OR-merged on the driver
+        (dedup_ops.build_bloom) — only n_partitions × bitmap-size bytes cross
+        the driver, never the seen rows themselves (a .toPandas() here would
+        pull ~10^10 hash rows through the driver at frontier scale)."""
+        n = seen.count()
+        if n:
+            dedup_ops.build_bloom(
+                dedup_ops.with_url_hashes(seen.select("url")), into=self._bloom
+            )
+        return n
 
     def _note_lineage(self, phase: str, round_no: int, per_pid: dict[tuple[str, int], int]) -> None:
         pids = sorted({pid for (_, pid) in per_pid})

@@ -62,14 +62,15 @@ def _shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray
         dtype=np.uint64,
         count=len(toks),
     )
-    if len(toks) < k:
-        acc = np.uint64(k)  # length-salt so short docs of equal prefix differ
-        for v in th:
-            acc = acc * _SHINGLE_C + v
-        return np.array([acc], dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(th, k)
-    weights = _SHINGLE_C ** np.arange(k, dtype=np.uint64)
-    return np.unique(windows @ weights)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the intended math
+        if len(toks) < k:
+            acc = np.uint64(k)  # length-salt so short docs of equal prefix differ
+            for v in th:
+                acc = acc * _SHINGLE_C + v
+            return np.array([acc], dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(th, k)
+        weights = _SHINGLE_C ** np.arange(k, dtype=np.uint64)
+        return np.unique(windows @ weights)
 
 
 def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:

@@ -10,7 +10,7 @@ vectorized UDF (original REP + Google longest-match semantics).
 
 from __future__ import annotations
 
-import fnmatch
+import re
 from urllib.parse import urlparse
 
 import pandas as pd
@@ -62,17 +62,32 @@ def robots_rules_df(spark: SparkSession, per_host_bodies: list[tuple[str, str]])
     return spark.createDataFrame(rows, schema=schemas.ROBOTS)
 
 
+_RULE_RE_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
+def _rule_regex(pattern: str) -> "re.Pattern[str]":
+    """Compile a REP path rule to a regex. REP's ONLY wildcard is '*' plus a
+    trailing '$' end-anchor — every other character is literal ('?', '[',
+    '+' appear verbatim in real query-string rules, so fnmatch-style
+    translation mis-matches e.g. 'Disallow: /search*?page=')."""
+    rx = _RULE_RE_CACHE.get(pattern)
+    if rx is None:
+        pat = pattern
+        anchored = pat.endswith("$")
+        if anchored:
+            pat = pat[:-1]
+        body = ".*".join(re.escape(seg) for seg in pat.split("*"))
+        rx = re.compile(body + ("$" if anchored else ""))
+        _RULE_RE_CACHE[pattern] = rx
+    return rx
+
+
 def _match_rule(path: str, pattern: str) -> int:
     """Return match length (-1 = no match). Supports * and trailing $."""
     if not pattern:
         return -1
     if "*" in pattern or pattern.endswith("$"):
-        pat = pattern
-        anchored = pat.endswith("$")
-        if anchored:
-            pat = pat[:-1]
-        regex_ok = fnmatch.fnmatch(path, pat if anchored else pat + "*")
-        return len(pattern) if regex_ok else -1
+        return len(pattern) if _rule_regex(pattern).match(path) else -1
     return len(pattern) if path.startswith(pattern) else -1
 
 

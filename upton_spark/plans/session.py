@@ -13,6 +13,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    try:
+        with open("/proc/meminfo") as f:
+            total_kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+        gb = max(2, min(32, total_kb // (4 * 1024 * 1024)))
+    except (OSError, StopIteration, ValueError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "upton_spark",
     cores: int | None = None,
@@ -60,9 +70,11 @@ def get_spark(
         # forked UDF workers don't pay a per-fork import storm (see
         # upton_spark/spark_daemon.py)
         .config("spark.python.daemon.module", "upton_spark.spark_daemon")
-        # single-JVM local mode: driver heap IS the executor heap; the host
-        # has 128 GiB, so size for 32 concurrent html-bearing tasks.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # single-JVM local mode: driver heap IS the executor heap. Default to
+        # ~1/4 of system RAM capped at 32g (sized for 32 concurrent
+        # html-bearing tasks on the 128 GiB bench host) so smaller machines
+        # still start; override with SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
