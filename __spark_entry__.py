@@ -108,6 +108,21 @@ def q_pagination_rewrite(spark, sf_dir):
     )
 
 
+def q_readable_key(spark, sf_dir):
+    """Readable stash filename (reference downloader.rb:130-135):
+    strip non-[A-Za-z0-9_-], truncate to the 130-char budget, append
+    '.html' — pure JVM regexp/substring."""
+    from upton_spark.functions.udfs import readable_key_col
+
+    docs = _docs_with_url(_t(spark, sf_dir, "documents")).withColumn(
+        "page_url",
+        F.concat(F.lit("http://"), F.col("url"), F.lit("/some/path-page_1.html?q=a&b=2")),
+    )
+    return docs.select(
+        "doc_id", "page_url", readable_key_col(F.col("page_url")).alias("stash_key")
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host crawl metrics rollup (SURVEY.md §2.4)."""
     return (
@@ -649,6 +664,35 @@ def q_crawl_paginated_search(spark, sf_dir):
     )
 
 
+def q_crawl_retry(spark, sf_dir):
+    """Bounded retry / fetch-failure semantics (reference maps fetch errors
+    to '' bodies, downloader.rb:50-68, and retries timeouts —
+    downloader.rb:63-65 — which the engine bounds at max_fetch_attempts):
+    a transient failure retries then succeeds; a persistent one goes
+    terminal status='failed'. Rows-only: crawl loop, not SQL."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    failures = spark.createDataFrame(
+        [(f"{BASE}/discussion.html", 1), (f"{BASE}/prosecutor.html", 99)],
+        "url string, fail_times int",
+    )
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    result = Crawler(
+        spark, fixture_pages(spark), seeds, fetch_failures=failures, max_fetch_attempts=3
+    ).crawl()
+    return result.frontier.select("url", "status", "attempts").orderBy("url")
+
+
 def q_crawl_fixture_headlines(spark, sf_dir):
     """The reference flagship crawl (RSpec basic golden) end-to-end on the
     fixture corpus — crawl ordering + byte-identical extraction. Rows-only
@@ -678,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_md5": q_url_md5,
         "slug": q_slug,
         "pagination_rewrite": q_pagination_rewrite,
+        "readable_key": q_readable_key,
         "host_stats": q_host_stats,
         "frontier_dedup": q_frontier_dedup,
         "politeness_admission": q_politeness_admission,
@@ -716,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
+        "crawl_retry": q_crawl_retry,
         "crawl_fixture_headlines": q_crawl_fixture_headlines,
         "crawl_lineage_politeness": q_crawl_lineage_politeness,
         "crawl_robots_gate": q_crawl_robots_gate,
@@ -745,6 +791,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'http://' || source || '/' || CAST(doc_id AS VARCHAR) || '/list.html' AS index_url,
                    'http://' || source || '/' || CAST(doc_id AS VARCHAR) || '/list.html?p=2' AS next_url
+            FROM documents
+        """,
+        "readable_key": """
+            SELECT doc_id,
+                   'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                     || '/some/path-page_1.html?q=a&b=2' AS page_url,
+                   substr(regexp_replace(
+                       'http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                         || '/some/path-page_1.html?q=a&b=2',
+                       '[^A-Za-z0-9\\-_]', '', 'g'), 1, 116) || '.html' AS stash_key
             FROM documents
         """,
         "host_stats": """

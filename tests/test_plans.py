@@ -66,6 +66,61 @@ def test_attach_bodies_streams_corpus_without_shuffle(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_smj_body_join_when_frontier_not_broadcastable(spark):
+    """broadcast_frontier=False is the 10^10-frontier path: the body join
+    must fall back to a shuffle join (SortMergeJoin once the corpus outgrows
+    the broadcast threshold) and produce byte-identical extraction output."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+    from tests import goldens
+
+    pages = fixture_pages(spark)
+
+    def seeds():
+        return [
+            SeedSpec(
+                0,
+                seed_url=f"{BASE}/propublica.html",
+                index_selector="section#river section h1 a",
+                extract_selector="h1.article-title",
+                extract_kind="text",
+                sleep_time_between_requests=0.0,
+            )
+        ]
+
+    def texts(result):
+        return [
+            r["text"]
+            for r in result.extracted.orderBy(
+                "seed_id", "instance_index", "pagination_index", "match_index"
+            ).collect()
+        ]
+
+    smj = Crawler(spark, pages, seeds(), broadcast_frontier=False, assume_unique_urls=True)
+    frontier = smj.build_frontier(
+        spark.createDataFrame(
+            [(0, 0, 0, f"{BASE}/webinar.html")], "seed_id int, page_round int, pos int, url string"
+        )
+    )
+    # fixture pages are tiny, so pin the shuffle-join shape by disabling
+    # auto-broadcast (at real scale AQE makes this call from stats)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(smj.attach_bodies(frontier), mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        result_smj = Crawler(
+            spark, pages, seeds(), broadcast_frontier=False, assume_unique_urls=True
+        ).crawl()
+        smj_texts = texts(result_smj)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert smj_texts == goldens.HEADLINES
+    result_b = Crawler(spark, pages, seeds(), assume_unique_urls=True).crawl()
+    assert texts(result_b) == smj_texts
+
+
 def test_politeness_single_host_exchange(spark, sf_dir):
     """Admission ranking adds exactly one hash exchange keyed on the host
     column (the same partitioning the frontier stores under)."""

@@ -125,6 +125,132 @@ def test_robots_gate_blocks_before_fetch(spark, pages):
     assert blocked_total == 1
 
 
+def test_fetched_at_and_readable_key(spark, pages):
+    """fetched_at is stamped into the seen-set at mark-seen time (reference
+    Time.now stash annotation, downloader.rb:100-116; pinned via clock for
+    determinism), and the readable stash key reproduces
+    readable_filename_from_uri (downloader.rb:130-135) incl. the 130-char
+    budget."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.functions.udfs import readable_key_col
+
+    crawler = Crawler(spark, pages, [basic_seed()], clock="2024-03-01 12:00:00")
+    result = crawler.crawl()
+    stamps = {str(r["fetched_at"]) for r in result.urls_seen.collect()}
+    assert stamps == {"2024-03-01 12:00:00"}
+
+    long_url = "http://www.example.com/" + "a-b_c/" * 40  # cleans to >123 chars
+    rows = (
+        spark.createDataFrame([(f"{BASE}/prosecutor.html",), (long_url,)], "url string")
+        .select("url", readable_key_col(F.col("url")).alias("key"))
+        .collect()
+    )
+    by_url = {r["url"]: r["key"] for r in rows}
+    # reference: uri.gsub(/[^A-Za-z0-9\-_]/, "")[0...(130-4-len(cache_loc))] + ".html"
+    import re as _re
+
+    for u, key in by_url.items():
+        clean = _re.sub(r"[^A-Za-z0-9\-_]", "", u)[: 130 - 4 - len("/tmp/upton")]
+        assert key == clean + ".html"
+    assert len(by_url[long_url]) == 130 - 4 - len("/tmp/upton") + len(".html")
+
+
+def test_index_fn_override_replaces_link_projection(spark, pages):
+    """Pluggable index_fn (the reference's get_index/parse_index subclass
+    override, lib/upton.rb:266-288): an arbitrary DataFrame transform
+    replaces the selector-driven link projection end-to-end — here reversing
+    crawl order, which must propagate to instance_index and extraction."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.functions.udfs import extract_links_udf
+
+    def custom_index(src):
+        hrefs = extract_links_udf(
+            F.col("html"), F.lit("section#river section h1 a"), F.col("seed_url")
+        )
+        return (
+            src.withColumn("hrefs", F.reverse(hrefs))
+            .select("seed_id", "page_round", F.posexplode("hrefs").alias("pos", "url"))
+            .filter(F.col("url").isNotNull())
+        )
+
+    # the seed's own selector matches nothing: only the hook finds links
+    crawler = Crawler(
+        spark, pages, [basic_seed(index_selector=".nonexistent")], index_fn=custom_index
+    )
+    assert _texts(crawler.crawl()) == list(reversed(goldens.HEADLINES))
+
+
+def test_index_politeness_defers_paginated_chains(spark, pages):
+    """A sleeping index seed must NOT take the speculative all-pages-at-once
+    index path: two index chains on one host with 1 token/host/round show
+    per-round deferred-by-politeness lineage, while extraction goldens stay
+    byte-identical."""
+    seeds = [
+        basic_seed(sleep_time_between_requests=30.0),
+        SeedSpec(
+            1,
+            seed_url=f"{BASE}/propublica_search.html",
+            index_selector=".compact-list a.title-link",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            paginated=True,
+            pagination_param="p",
+            pagination_max_pages=3,
+            sleep_time_between_requests=30.0,
+        ),
+    ]
+    crawler = Crawler(spark, pages, seeds, round_budget_s=30.0)
+    result = crawler.crawl()
+    idx = result.lineage.filter("phase = 'index'").collect()
+    assert sum(r["deferred_by_politeness"] for r in idx) >= 1
+    # 1 propublica index page + 3 search pagination pages, each a live fetch
+    assert sum(r["fetched"] for r in idx) == 4
+    per_round_fetches = {r["round"]: r["fetched"] for r in idx if r["fetched"]}
+    assert all(v <= 1 for v in per_round_fetches.values())  # 1 token/host/round
+    assert _texts(result) == goldens.HEADLINES + goldens.SEARCH_RESULTS
+
+
+def test_bounded_retry_and_terminal_failure(spark, pages):
+    """Injected fetch failures: a transiently-failing url retries (attempts
+    incremented, politeness token consumed per attempt) and succeeds inside
+    the bound; a persistently-failing url goes terminal status='failed' after
+    max_fetch_attempts with the reference's empty-body extraction semantics
+    (lib/upton/downloader.rb:50-68 maps errors to ''; the reference's
+    infinite timeout retry at downloader.rb:63-65 is bounded here)."""
+    failures = spark.createDataFrame(
+        [(f"{BASE}/discussion.html", 1), (f"{BASE}/prosecutor.html", 99)],
+        "url string, fail_times int",
+    )
+    crawler = Crawler(
+        spark, pages, [basic_seed()], fetch_failures=failures, max_fetch_attempts=3
+    )
+    result = crawler.crawl()
+    rows = {r["url"]: r for r in result.frontier.collect()}
+    assert rows[f"{BASE}/discussion.html"]["status"] == "fetched"
+    assert rows[f"{BASE}/discussion.html"]["attempts"] == 1
+    assert rows[f"{BASE}/prosecutor.html"]["status"] == "failed"
+    assert rows[f"{BASE}/prosecutor.html"]["attempts"] == 3
+    assert rows[f"{BASE}/webinar.html"]["status"] == "fetched"
+    assert rows[f"{BASE}/webinar.html"]["attempts"] == 0
+    # failed url extracts as '' (empty-body encoding), others unchanged
+    texts = _texts(result)
+    assert texts == [
+        "Webinar: How to Use Prescriber Checkup to Power Your Reporting",
+        "",
+        "",  # prosecutor: terminal fetch failure → empty body
+        "Six Facts Lost in the IRS Scandal",
+    ]
+    lin = result.lineage.filter("phase='instance'").collect()
+    assert sum(r["retried"] for r in lin) == 1 + 2  # discussion once, prosecutor twice
+    assert sum(r["failed"] for r in lin) == 1
+    # failed urls are NOT marked seen: a later crawl retries them fresh
+    seen = {r["url"] for r in result.urls_seen.collect()}
+    assert f"{BASE}/prosecutor.html" not in seen
+    assert f"{BASE}/discussion.html" in seen
+
+
 def test_instance_pagination_hook(spark, pages):
     """next_instance_page_url hook (lib/upton.rb:127-129 override): page 2
     of the search instance is appended while bodies stay non-empty."""

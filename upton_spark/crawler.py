@@ -150,7 +150,31 @@ class Crawler:
         index_sequential: bool = False,
         assume_unique_urls: bool = False,
         broadcast_frontier: bool = True,
+        fetch_failures: DataFrame | None = None,
+        max_fetch_attempts: int = 3,
+        index_fn: Callable[[DataFrame], DataFrame] | None = None,
+        clock: str | None = None,
     ):
+        # ``clock`` pins the fetched_at stash-annotation timestamp (the
+        # reference stamps Time.now into cached files, downloader.rb:100-116)
+        # to a fixed 'yyyy-MM-dd HH:mm:ss' value for deterministic tests;
+        # None uses current_timestamp() like a live deployment.
+        # ``index_fn`` is the reference's primary customization point — the
+        # get_index/parse_index subclass override (lib/upton.rb:266-288,
+        # README.md:31-39) — as a pluggable DataFrame transform: it receives
+        # the fetched index pages (seed_id, page_round, seed_url, url, html,
+        # index_selector) and must return link rows (seed_id, page_round,
+        # pos, url) where pos is the within-page DOM position. None keeps
+        # the default CSS-selector link projection.
+        # Bounded retry (SURVEY.md §4): the reference retries timeouts forever
+        # (lib/upton/downloader.rb:63-65) and maps HTTP errors to '' bodies
+        # (downloader.rb:50-68). The engine bounds retries: a failed live
+        # fetch increments ``attempts`` and re-queues (re-entering admission,
+        # so a retry consumes a politeness token like any live request) until
+        # ``max_fetch_attempts``, then the row goes terminal status='failed'
+        # with the reference's empty-body semantics. ``fetch_failures``
+        # injects failures for tests/replay: rows (url, fail_times) make the
+        # first ``fail_times`` live attempts of that url fail.
         known_kinds = {"text", "list", "table", "identity"}
         for s in seeds:
             if s.extract_kind not in known_kinds:
@@ -169,6 +193,10 @@ class Crawler:
         #   body join stream the pages scan with NO corpus shuffle.
         self.assume_unique_urls = assume_unique_urls
         self.broadcast_frontier = broadcast_frontier
+        self.fetch_failures = fetch_failures
+        self.max_fetch_attempts = max_fetch_attempts
+        self.index_fn = index_fn
+        self.clock = clock
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -312,6 +340,8 @@ class Crawler:
                     per_pid.get(("deferred", pid), 0),
                     per_pid.get(("cache_hit", pid), 0),
                     per_pid.get(("blocked", pid), 0),
+                    per_pid.get(("retry", pid), 0),
+                    per_pid.get(("failed", pid), 0),
                 )
             )
 
@@ -325,8 +355,13 @@ class Crawler:
         Bloom would produce false negatives, which (unlike false positives)
         break the no-refetch contract."""
         distinct_new = dedup_ops.with_url_hashes(new_urls.select("url").distinct())
-        new_rows = distinct_new.withColumn("first_round", F.lit(round_no)).select(
-            "url_hash", "url", "first_round"
+        fetched_at = (
+            F.to_timestamp(F.lit(self.clock)) if self.clock else F.current_timestamp()
+        )
+        new_rows = (
+            distinct_new.withColumn("first_round", F.lit(round_no))
+            .withColumn("fetched_at", fetched_at)
+            .select("url_hash", "url", "first_round", "fetched_at")
         )
         if update_bloom:
             dedup_ops.build_bloom(distinct_new, into=self._bloom)
@@ -335,7 +370,20 @@ class Crawler:
 
     # ----------------------------------------------------------- index phase
     def run_index_phase(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-        if self.index_sequential:
+        """Speculative (one distributed pass) when every index seed has an
+        unlimited live-fetch budget; sequential otherwise. The speculative
+        pass generates and fetches every candidate pagination page in one
+        join with no token-bucket admission — fine for replay corpora, but
+        it would silently break the per-round politeness contract (at most
+        budget/sleep live fetches per host per round) for sleeping seeds, so
+        those auto-select the sequential chain."""
+        any_index_sleep = any(
+            s.seed_url
+            and s.index_selector is not None
+            and (s.sleep_time_between_requests or 0) > 0
+            for s in self.seeds
+        )
+        if self.index_sequential or any_index_sleep:
             return self.run_index_phase_sequential(seen)
         return self.run_index_phase_speculative(seen)
 
@@ -429,21 +477,35 @@ class Crawler:
             )
         self._note_lineage("index", 0, counts)
 
-        links = (
-            fetched.filter(F.col("chain_valid") & ~F.col("body_empty"))
-            .withColumn(
+        links = self._project_links(
+            fetched.filter(F.col("chain_valid") & ~F.col("body_empty")),
+            F.col("page_k"),
+        )
+        return self._materialize(links, "links"), seen
+
+    def _project_links(self, fetched: DataFrame, page_round_col) -> DataFrame:
+        """Index pages → link rows (seed_id, page_round, pos, url); the
+        default CSS-selector href projection (lib/upton.rb:281-288, NULL
+        hrefs preserved) or the user's ``index_fn`` override."""
+        src = fetched.select(
+            "seed_id",
+            page_round_col.cast("int").alias("page_round"),
+            "seed_url",
+            F.col("fetch_url").alias("url"),
+            "html",
+            "index_selector",
+        )
+        if self.index_fn is not None:
+            return self.index_fn(src).select("seed_id", "page_round", "pos", "url")
+        return (
+            src.withColumn(
                 "hrefs",
                 extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
             )
-            .select(
-                "seed_id",
-                F.col("page_k").alias("page_round"),
-                F.posexplode_outer("hrefs").alias("pos", "url"),
-            )
+            .select("seed_id", "page_round", F.posexplode_outer("hrefs").alias("pos", "url"))
             .filter(F.col("pos").isNotNull())
             .select("seed_id", "page_round", "pos", "url")
         )
-        return self._materialize(links, "links"), seen
 
     def run_index_phase_sequential(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Fetch paginated index chains, project links. Returns (links, seen).
@@ -536,21 +598,11 @@ class Crawler:
                     round_no,
                     n_live,
                 )
-            self._note_lineage("index", round_no, counts)
+            if counts or round_no == 0:  # trailing empty rounds add no lineage
+                self._note_lineage("index", round_no, counts)
 
-            page_links = (
-                fetched.filter(~F.col("body_empty"))
-                .withColumn(
-                    "hrefs",
-                    extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
-                )
-                .select(
-                    "seed_id",
-                    F.lit(round_no).alias("page_round"),
-                    F.posexplode_outer("hrefs").alias("pos", "url"),
-                )
-                .filter(F.col("pos").isNotNull())
-                .select("seed_id", "page_round", "pos", "url")
+            page_links = self._project_links(
+                fetched.filter(~F.col("body_empty")), F.lit(round_no)
             )
             links_parts.append(self._materialize(page_links, "links_part"))
 
@@ -676,13 +728,37 @@ class Crawler:
             )
             new_urls = polite_ops.admit_per_host(new_urls)
 
+            # bounded retry: an admitted row whose url is still inside its
+            # injected failure budget "times out" — it consumed a politeness
+            # token but produced no body; it re-queues with attempts+1 until
+            # max_fetch_attempts, then goes terminal 'failed' (empty body,
+            # NOT marked seen — a later crawl retries it fresh).
+            if self.fetch_failures is not None:
+                new_urls = new_urls.join(
+                    F.broadcast(self.fetch_failures.select("url", "fail_times")), "url", "left"
+                )
+            else:
+                new_urls = new_urls.withColumn("fail_times", F.lit(None).cast("int"))
+            attempt_fails = (
+                F.col("admitted")
+                & F.col("fail_times").isNotNull()
+                & (F.col("attempts") < F.col("fail_times"))
+            )
+            terminal = attempt_fails & (
+                F.col("attempts") + 1 >= F.lit(self.max_fetch_attempts)
+            )
+
             pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
             decisions = (
                 new_urls.select(
                     "url_hash",
                     "url",
                     "host",
-                    F.when(F.col("admitted"), "fetched").otherwise("deferred").alias("decision"),
+                    F.when(~F.col("admitted"), "deferred")
+                    .when(terminal, "failed")
+                    .when(attempt_fails, "retry")
+                    .otherwise("fetched")
+                    .alias("decision"),
                 )
                 .unionByName(
                     cache_hits.select(
@@ -703,11 +779,15 @@ class Crawler:
             }
             n_admitted = sum(v for (d, _), v in counts.items() if d == "fetched")
             n_deferred = sum(v for (d, _), v in counts.items() if d == "deferred")
+            n_retry = sum(v for (d, _), v in counts.items() if d == "retry")
+            n_failed = sum(v for (d, _), v in counts.items() if d == "failed")
 
             if self.instance_cached and n_admitted:
                 # a later probe of the bloom happens only if more rounds run
-                # (deferred rows) or instance pagination will re-enter
-                will_probe_again = n_deferred > 0 or self.next_instance_page_url_fn is not None
+                # (deferred/retry rows) or instance pagination will re-enter
+                will_probe_again = (
+                    n_deferred > 0 or n_retry > 0 or self.next_instance_page_url_fn is not None
+                )
                 seen = self._mark_seen(
                     seen,
                     decisions.filter(F.col("decision") == "fetched").select("url"),
@@ -730,9 +810,19 @@ class Crawler:
             frontier = (
                 frontier.join(status_map.dropDuplicates(["url_hash"]), "url_hash", "left")
                 .withColumn(
+                    "attempts",
+                    F.when(
+                        (F.col("status") == "queued")
+                        & F.col("_new_status").isin("retry", "failed"),
+                        F.col("attempts") + 1,
+                    ).otherwise(F.col("attempts")),
+                )
+                .withColumn(
                     "status",
                     F.when(
-                        (F.col("status") == "queued") & F.col("_new_status").isNotNull(),
+                        (F.col("status") == "queued")
+                        & F.col("_new_status").isNotNull()
+                        & (F.col("_new_status") != "retry"),
                         F.col("_new_status"),
                     ).otherwise(F.col("status")),
                 )
@@ -750,6 +840,8 @@ class Crawler:
                         "deferred_by_politeness": n_deferred,
                         "cache_hits": sum(v for (d, _), v in counts.items() if d == "cache_hit"),
                         "blocked_by_robots": sum(v for (d, _), v in counts.items() if d == "blocked"),
+                        "retried": n_retry,
+                        "failed": n_failed,
                         "urls_seen": self._seen_count,
                     },
                 )
@@ -757,7 +849,7 @@ class Crawler:
             rounds_done += 1
             if stop_after_round is not None and round_no > stop_after_round:
                 raise KilledCrawl(round_no)
-            if n_deferred == 0:
+            if n_deferred == 0 and n_retry == 0:
                 break
         return frontier, seen
 

@@ -114,6 +114,20 @@ def slug_udf(url: pd.Series) -> pd.Series:
     return pd.Series([urlkit.slug(u) if u is not None else None for u in url])
 
 
+MAX_FILENAME_LENGTH = 130  # reference downloader.rb:18
+
+
+def readable_key_col(url_col, cache_location_len: int = len("/tmp/upton")):
+    """Readable stash filename — reference readable_filename_from_uri
+    (downloader.rb:130-135): strip every char outside [A-Za-z0-9_-], truncate
+    to MAX_FILENAME_LENGTH - len('html') - len(cache_location), append
+    '.html'. (The reference does not budget for the '.' — quirk preserved.)
+    Pure JVM regexp_replace + substring: runs in codegen."""
+    clean = F.regexp_replace(url_col, "[^A-Za-z0-9\\-_]", "")
+    keep = MAX_FILENAME_LENGTH - len("html") - cache_location_len
+    return F.concat(F.substring(clean, 1, keep), F.lit(".html"))
+
+
 def host_col(url_col):
     """Host (authority) of a URL — JVM-side ``parse_url``, no Python.
 

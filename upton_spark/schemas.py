@@ -66,6 +66,9 @@ URLS_SEEN = T.StructType(
         T.StructField("url_hash", T.LongType(), False),
         T.StructField("url", T.StringType(), False),
         T.StructField("first_round", T.IntegerType(), True),
+        # stash-annotation timestamp, stamped at mark-seen time (reference
+        # writes Time.now into the cached file, downloader.rb:100-116)
+        T.StructField("fetched_at", T.TimestampType(), True),
     ]
 )
 
@@ -97,6 +100,8 @@ LINEAGE = T.StructType(
         T.StructField("deferred_by_politeness", T.LongType(), True),
         T.StructField("cache_hits", T.LongType(), True),
         T.StructField("blocked_by_robots", T.LongType(), True),
+        T.StructField("retried", T.LongType(), True),
+        T.StructField("failed", T.LongType(), True),
     ]
 )
 
