@@ -8,10 +8,15 @@ names and rounding are aligned pairwise between the Spark and SQL sides;
 floating aggregates are rounded so cross-engine summation-order noise can't
 flip the value hash.
 
-Queries without an oracle entry (minhash/simhash/langid/rolling fingerprint,
-LSH buckets, IVF ANN, LSH near-dup, multimodal decode plumbing, the crawl
-engine itself) are genuinely non-SQL-expressible pipelines; the driver
-records the weaker rows-only check for them by design.
+Signature pipelines (MinHash, SimHash, hyperplane LSH, rolling fingerprint,
+language-ID) are deliberately defined over cross-engine primitives — md5
+token hashes matching DuckDB's md5_number_lower, uint64-wraparound combines
+replayed in HUGEINT, integer-quantized hyperplanes — so each carries a full
+DuckDB oracle (constants baked into generated SQL). Queries without an
+oracle entry (IVF ANN's iterative k-means, the multimodal decode stub, the
+crawl engine itself) are genuinely non-SQL-expressible; the driver records
+the weaker rows-only check for those by design, and pytest covers them with
+recall/golden assertions instead.
 """
 
 from __future__ import annotations
@@ -488,7 +493,7 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     )
 
 
-# ---- rows-only queries (non-SQL-expressible pipelines) ---------------------
+# ---- rows-only queries (genuinely non-SQL-expressible pipelines) -----------
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
@@ -508,7 +513,8 @@ def q_embedding_ivf_topk(spark, sf_dir):
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
     """Embedding near-dup at scale: LSH bucket candidates → exact cosine
-    verify (bucket-join shuffle only, never n²)."""
+    verify (bucket-join shuffle only, never n²). Quantized-int buckets give
+    it a full SQL oracle (bucket join + list_cosine_similarity)."""
     from upton_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -516,21 +522,29 @@ def q_embedding_near_dups_lsh(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-dup pipeline (shingle→sign→band→bucket join→exact
-    verify). No SQL oracle: multi-stage numpy signature pipeline."""
+    """MinHash+LSH near-dup pipeline (shingle→signature→band→bucket
+    join→exact-Jaccard verify). Oracle: the full pipeline replayed in SQL —
+    md5_number_lower token hashes, HUGEINT wraparound shingle combine, the
+    engine's exact (a,b) permutation constants, band-slice equality, exact
+    Jaccard on candidate pairs."""
     from upton_spark.operators.dedup_docs import near_duplicates_minhash
 
     docs = _t(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, threshold=0.5)
+    pairs = near_duplicates_minhash(docs, threshold=0.5)
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash(spark, sf_dir):
+    """64-bit SimHash over md5 token hashes; oracle replays the bit
+    sign-sums in SQL (md5_number_lower + HUGEINT bit arithmetic)."""
     from upton_spark.operators.dedup_docs import simhash
 
     return simhash(_t(spark, sf_dir, "documents"))
 
 
 def q_language_id(spark, sf_dir):
+    """Stopword-profile language guess — pure codegen, mirrored 1:1 by the
+    SQL oracle (array_intersect hit counts + argmax CASE)."""
     from upton_spark.operators.textops import language_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -538,13 +552,17 @@ def q_language_id(spark, sf_dir):
 
 
 def q_fingerprint_rolling(spark, sf_dir):
+    """Winnowing-style rolling fingerprint: min-md5 over 8-token windows,
+    pure codegen, with a windowed-md5 SQL oracle."""
     from upton_spark.operators.textops import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
 def q_embedding_lsh_buckets(spark, sf_dir):
-    """Random-hyperplane LSH bucket histogram (ANN scale path)."""
+    """Random-hyperplane LSH bucket histogram (ANN scale path). Hyperplanes
+    and vectors are integer-quantized so every dot product is exact int64 —
+    the SQL oracle reproduces buckets bit-for-bit."""
     from upton_spark.operators.similarity import with_lsh_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -767,6 +785,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_robots_gate": q_crawl_robots_gate,
         "crawl_paginated_search": q_crawl_paginated_search,
     }
+
+
+# --------------------------------------------------------------------------
+# generated oracle SQL — signature pipelines replayed in DuckDB with the
+# engine's exact constants baked in (md5_number_lower == little-endian
+# uint64 of md5 digest bytes [8:16] == the engine's _tok64_md5)
+# --------------------------------------------------------------------------
+
+_T64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64 wraparound modulus
+_MERS = "CAST('2305843009213693951' AS HUGEINT)"  # 2^61-1 MinHash prime
+
+
+def _hugeint_list(vals) -> str:
+    return "[" + ",".join(f"CAST('{int(v)}' AS HUGEINT)" for v in vals) + "]"
+
+
+def _minhash_oracle() -> str:
+    from upton_spark.operators.dedup_docs import _SHINGLE_C, _minhash_params
+
+    a, b = _minhash_params(64)
+    cpl = _hugeint_list(pow(int(_SHINGLE_C), j, 1 << 64) for j in range(6))
+    return f"""
+        WITH c AS (SELECT {_hugeint_list(a)} AS ca, {_hugeint_list(b)} AS cb, {cpl} AS cp),
+        t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+          FROM documents
+        ), th AS (
+          SELECT doc_id, list_transform(toks, w -> CAST(md5_number_lower(w) >> 2 AS HUGEINT)) AS h,
+                 len(toks) AS n
+          FROM t
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN n < 5 THEN
+              [ (5 * cp[n+1]
+                 + coalesce(list_sum(list_transform(range(0, n), j -> (h[j+1] * cp[n-j]) % {_T64})), 0)) % {_T64} ]
+            ELSE
+              list_distinct(list_transform(range(1, n - 3), i ->
+                coalesce(list_sum(list_transform(range(0, 5), j -> (h[i+j] * cp[j+1]) % {_T64})), 0) % {_T64}))
+            END AS sh
+          FROM th, c
+        ), sig AS (
+          SELECT doc_id, list_transform(range(0, 64), p ->
+               CAST(list_aggregate(list_transform(sh, x -> ((ca[p+1] * x) % {_T64} + cb[p+1]) % {_T64} % {_MERS}), 'min') AS BIGINT)) AS sig
+          FROM sh, c
+        ), band AS (
+          SELECT doc_id, band, sig[band*4+1:band*4+4] AS bslice
+          FROM sig, range(0, 16) r(band)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM band x JOIN band y ON x.band = y.band AND x.bslice = y.bslice AND x.doc_id < y.doc_id
+        ), j AS (
+          SELECT a, b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+          FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
+        )
+        SELECT a, b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+    """
+
+
+def _simhash_oracle() -> str:
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+          FROM documents
+        ), h AS (
+          SELECT doc_id, list_transform(toks, w -> md5_number_lower(w)) AS hs FROM t
+        ), acc AS (
+          SELECT doc_id, hs,
+                 list_sum(list_transform(range(0, 64), b ->
+                   CASE WHEN coalesce(list_sum(list_transform(hs,
+                          x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                        THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS v
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN len(hs) = 0 THEN 0
+                         WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN v - CAST('18446744073709551616' AS HUGEINT)
+                         ELSE v END AS BIGINT) AS simhash
+        FROM acc
+    """
+
+
+def _language_id_oracle() -> str:
+    from upton_spark.operators.textops import _STOPWORDS
+
+    hits = {
+        lang: "len(list_intersect(["
+        + ",".join(f"'{w}'" for w in ws)
+        + "], words))"
+        for lang, ws in _STOPWORDS.items()
+    }
+    top = f"greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 (string_split_regex(trim(lower(text)), '\\s+'))[1:400] AS words
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN {top} < 2 THEN 'und'
+                    WHEN {hits['en']} = {top} THEN 'en'
+                    WHEN {hits['es']} = {top} THEN 'es'
+                    WHEN {hits['fr']} = {top} THEN 'fr'
+                    ELSE 'de' END AS lang_guess
+        FROM t
+    """
+
+
+def _fingerprint_oracle() -> str:
+    return r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\s+') END AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(words) >= 8
+                    THEN list_aggregate(list_transform(range(1, len(words) - 6),
+                         i -> md5(array_to_string(words[i:i+7], ' '))), 'min')
+                    ELSE md5(array_to_string(words, ' ')) END AS fingerprint
+        FROM t
+    """
+
+
+def _lsh_planes_sql(n_planes: int) -> str:
+    from upton_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_planes)
+    return "[" + ",".join(
+        "[" + ",".join(str(int(v)) for v in row) + "]" for row in planes
+    ) + "]"
+
+
+def _lsh_bucket_cte(n_planes: int, extra_cols: str = "") -> str:
+    """Shared CTE chain computing per-vector quantized-int LSH buckets."""
+    return f"""
+        WITH p AS (SELECT {_lsh_planes_sql(n_planes)} AS planes),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(floor(x*1000000 + 0.5) AS HUGEINT)) AS eq
+          FROM embeddings
+        ), b AS (
+          SELECT vec_id, ev,
+            CAST(list_sum(list_transform(range(0, {n_planes}), pl ->
+              CASE WHEN coalesce(list_sum(list_transform(range(1, 65), d ->
+                        eq[d] * CAST(planes[pl+1][d] AS HUGEINT))), 0) > 0
+                   THEN CAST(CAST(1 AS UBIGINT) << pl AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)) AS INTEGER) AS lsh_bucket
+          FROM e, p
+        )
+    """
+
+
+def _lsh_buckets_oracle() -> str:
+    return (
+        _lsh_bucket_cte(8)
+        + "SELECT lsh_bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY lsh_bucket"
+    )
+
+
+def _lsh_near_dups_oracle() -> str:
+    return (
+        _lsh_bucket_cte(6)
+        + """
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.ev, y.ev), 6) AS cosine
+        FROM b x JOIN b y ON x.lsh_bucket = y.lsh_bucket AND x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.ev, y.ev), 6) >= 0.3
+    """
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1046,5 +1241,20 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "minhash_near_dups": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "language_id": _language_id_oracle(),
+        "fingerprint_rolling": _fingerprint_oracle(),
+        "embedding_lsh_buckets": _lsh_buckets_oracle(),
+        "embedding_near_dups_lsh": _lsh_near_dups_oracle(),
+        # synth_media is deterministic in asset_id: video assets are i%3==2
+        # with duration_ms = 3000 + 100*(i%7); frame sampling every 500 ms
+        # yields floor((duration-1)/500)+1 frames — recomputed independently
+        # from the generation formula.
+        "media_frame_sample": """
+            SELECT i AS asset_id,
+                   CAST(floor((3000 + 100*(i % 7) - 1) / 500) + 1 AS BIGINT) AS n_frames
+            FROM range(0, 96) t(i) WHERE i % 3 = 2
         """,
     }

@@ -67,6 +67,34 @@ def test_minhash_verify_kills_false_positives(docs):
     assert pairs == [(0, 75)]
 
 
+def test_minhash_pairs_contain_exact_ngram_pairs(spark):
+    """MinHash near-dup output must be a superset of the exact word-5-gram
+    Jaccard pairs above threshold on the same docs — the containment check
+    tying the estimate to its exact sibling. Corpus: real sf0.01 documents
+    plus deterministic near-copies (one trailing clause appended) and exact
+    copies, since the raw sample contains no true near-dups."""
+    base = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter("doc_id % 25 = 0")
+        .select("doc_id", "text")
+    )
+    near = base.select((F.col("doc_id") + 1000).alias("doc_id"),
+                       F.concat("text", F.lit(" with one extra trailing clause")).alias("text"))
+    exact_copy = base.select((F.col("doc_id") + 2000).alias("doc_id"), "text")
+    docs = base.unionByName(near).unionByName(exact_copy)
+    exact = {
+        (r["a"], r["b"])
+        for r in word_ngram_jaccard_pairs(docs, n=5, sample_mod=1).collect()
+        if r["ngram_jaccard"] >= 0.8
+    }
+    mh = {
+        (r["a"], r["b"])
+        for r in near_duplicates_minhash(docs, threshold=0.5, shingle_k=5).collect()
+    }
+    assert len(exact) >= 40  # every (orig, near, copy) triple pairs up
+    assert exact <= mh
+
+
 def test_simhash_deterministic_and_local(spark, docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     sh2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}

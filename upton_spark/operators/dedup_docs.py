@@ -15,13 +15,25 @@ pair join stays proportional to true-near-dup density instead of n².
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 _MERSENNE = (1 << 61) - 1
+
+
+def _tok64_md5(tok: str, cache: dict) -> int:
+    """64-bit token hash: little-endian uint64 of md5 digest bytes [8:16] —
+    exactly DuckDB's md5_number_lower(tok), so every signature built on it
+    (simhash, MinHash shingles) is reproducible by a SQL oracle. Memoized
+    across the Arrow batch (webtext vocabulary is highly repetitive)."""
+    v = cache.get(tok)
+    if v is None:
+        v = int.from_bytes(hashlib.md5(tok.encode()).digest()[8:16], "little")
+        cache[tok] = v
+    return v
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -44,8 +56,9 @@ _SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)
 def _shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray:
     """Distinct k-token shingle hashes, numpy-vectorized.
 
-    Each token is CRC32-hashed once (memoized across the Arrow batch via
-    ``_cache`` — webtext vocabulary is highly repetitive), then the k-window
+    Each token is md5-hashed once to 62 bits (memoized across the Arrow
+    batch via ``_cache``; 62 = md5_number_lower >> 2 so a DuckDB oracle can
+    replay the combine in HUGEINT without overflow), then the k-window
     combine is a sliding-window dot product with powers of an odd 64-bit
     constant (uint64 wraparound arithmetic). Equivalent discriminating power
     to hashing the joined shingle string, without materializing any joined
@@ -55,10 +68,7 @@ def _shingle_hashes(text: str, k: int, _cache: dict | None = None) -> np.ndarray
     if _cache is None:
         _cache = {}
     th = np.fromiter(
-        (
-            _cache[t] if t in _cache else _cache.setdefault(t, zlib.crc32(t.encode()))
-            for t in toks
-        ),
+        (_tok64_md5(t, _cache) >> 2 for t in toks),
         dtype=np.uint64,
         count=len(toks),
     )
@@ -183,19 +193,22 @@ def near_duplicates_minhash(
 
 
 def simhash(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over token CRCs (sign-sum of bit contributions)."""
+    """64-bit SimHash over md5 token hashes (sign-sum of bit contributions;
+    token hash = DuckDB md5_number_lower, so the whole signature carries a
+    SQL oracle)."""
 
     @F.pandas_udf(T.LongType())
     def sh(text: pd.Series) -> pd.Series:
         out = []
+        cache: dict = {}
         for t in text:
             toks = (t or "").lower().split()
             if not toks:
                 out.append(0)
                 continue
-            hs = np.fromiter((zlib.crc32(w.encode()) for w in toks), dtype=np.uint64)
-            # widen to 64 bits deterministically
-            hs = hs * np.uint64(0x9E3779B97F4A7C15)
+            hs = np.fromiter(
+                (_tok64_md5(w, cache) for w in toks), dtype=np.uint64, count=len(toks)
+            )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )

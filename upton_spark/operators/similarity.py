@@ -56,21 +56,35 @@ def brute_force_topk(
     )
 
 
+_QUANT = 1_000_000  # embedding fixed-point scale
+_PLANE_QUANT = 1_000  # hyperplane fixed-point scale
+
+
+def _quantize(mat: np.ndarray, scale: int) -> np.ndarray:
+    """floor(x*scale + 0.5) — round-half-up in exact float64, identical to
+    the SQL floor(x*scale + 0.5), unlike np.round (half-to-even)."""
+    return np.floor(mat * scale + 0.5).astype(np.int64)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    """Integer-quantized random hyperplanes. Quantizing both the planes and
+    the vectors makes every dot product exact int64 arithmetic — the bucket
+    of a vector is order-of-summation-independent and bit-reproducible by a
+    DuckDB oracle (float dots near zero could flip sign between engines)."""
     rng = np.random.RandomState(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    return _quantize(rng.standard_normal((n_planes, dim)), _PLANE_QUANT)
 
 
 def with_lsh_bucket(
     embeddings: DataFrame, dim: int, n_planes: int = 12, vec_col: str = "embedding", seed: int = 13
 ) -> DataFrame:
     """Random-hyperplane signature → integer bucket (Charikar SimHash for
-    vectors). One vectorized matmul per Arrow batch."""
+    vectors). One vectorized matmul per Arrow batch, in exact int64."""
     planes = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(T.IntegerType())
     def bucket(vec: pd.Series) -> pd.Series:
-        mat = np.array(vec.tolist(), dtype=np.float64)
+        mat = _quantize(np.array(vec.tolist(), dtype=np.float64), _QUANT)
         signs = (mat @ planes.T) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
         return pd.Series((signs @ weights).astype(np.int32))
@@ -196,11 +210,17 @@ def lsh_topk(
     """Approximate top-k: score only rows whose bucket is within
     ``probe_hamming`` bits of the query's bucket (multi-probe LSH)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    q = np.asarray(query_vec, dtype=np.float64)
+    q = _quantize(np.asarray(query_vec, dtype=np.float64), _QUANT)
     qsig = int(((q @ planes.T) > 0) @ (1 << np.arange(n_planes)))
     probes = {qsig}
     if probe_hamming >= 1:
         probes |= {qsig ^ (1 << b) for b in range(n_planes)}
+    if probe_hamming >= 2:
+        probes |= {
+            qsig ^ (1 << b1) ^ (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        }
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
         embeddings_with_bucket.filter(F.col("lsh_bucket").isin([int(p) for p in probes]))

@@ -1,18 +1,15 @@
 """Text analysis operators for training-data pipelines over ``documents``.
 
-All hot-path math stays JVM-side (built-in expressions, whole-stage codegen);
-Python appears only for the language-ID heuristic and the rolling-hash
-fingerprint, both Arrow-batched. These are engine-side capabilities beyond
-the reference (which only extracts text); they operate on the corpus the
-crawl produces.
+Everything here is JVM-side (built-in expressions, whole-stage codegen) —
+including language-ID and the rolling fingerprint, which are deliberately
+defined over SQL-expressible primitives so every operator carries a DuckDB
+oracle. These are engine-side capabilities beyond the reference (which only
+extracts text); they operate on the corpus the crawl produces.
 """
 
 from __future__ import annotations
 
-import zlib
-
-import pandas as pd
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F
 
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
@@ -67,45 +64,40 @@ def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-profile language guess (n-gram heuristic). Deterministic,
-    Arrow-batched; not SQL-oracle-able (registered rows-only)."""
-
-    @F.pandas_udf(T.StringType())
-    def guess(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            if not t:
-                out.append("und")
-                continue
-            words = set(t.lower().split()[:400])
-            best, best_hits = "und", 0
-            for lang, stops in _STOPWORDS.items():
-                hits = sum(1 for s in stops if s in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            out.append(best if best_hits >= 2 else "und")
-        return pd.Series(out)
-
-    return df.withColumn("lang_guess", guess(F.col(text_col)))
+    """Stopword-profile language guess: distinct-stopword hits per language
+    over the first 400 tokens, argmax with first-wins tie-break in
+    (en, es, fr, de) order, 'und' below 2 hits. Fully JVM codegen
+    (split + array_intersect + CASE) — no Python in the plan, and the exact
+    same expression carries a DuckDB oracle."""
+    text = F.col(text_col)
+    words = F.slice(F.split(F.trim(F.lower(text)), r"\s+"), 1, 400)
+    hits = {
+        lang: F.size(F.array_intersect(F.array(*[F.lit(s) for s in stops]), words))
+        for lang, stops in _STOPWORDS.items()
+    }
+    top = F.greatest(*hits.values())
+    guess = F.when(top < 2, "und")
+    for lang in _STOPWORDS:  # dict order = first-wins tie-break
+        guess = guess.when(hits[lang] == top, lang)
+    return df.withColumn("lang_guess", guess.otherwise("und"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-style): min CRC32 over
-    token n-gram windows — robust to small edits, deterministic."""
-
-    @F.pandas_udf(T.LongType())
-    def fp(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            toks = (t or "").split()
-            if len(toks) < window:
-                out.append(zlib.crc32(" ".join(toks).encode()) & 0x7FFFFFFF)
-                continue
-            best = min(
-                zlib.crc32(" ".join(toks[i : i + window]).encode())
-                for i in range(len(toks) - window + 1)
-            )
-            out.append(best & 0x7FFFFFFF)
-        return pd.Series(out, dtype="int64")
-
-    return df.withColumn("fingerprint", fp(F.col(text_col)))
+    """Rolling document fingerprint (winnowing-style): lexicographic-min md5
+    over k-token windows — robust to small edits, deterministic. Docs
+    shorter than the window hash their full token join. Pure codegen
+    (split / sequence / transform / slice / md5 / array_min), so it is both
+    the scale path (no Python) and SQL-oracle-able."""
+    text = F.col(text_col)
+    words = F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+    n = F.size(words)
+    window_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (window - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, window))),
+    )
+    fp = F.when(n >= window, F.array_min(window_hashes)).otherwise(
+        F.md5(F.concat_ws(" ", words))
+    )
+    return df.withColumn("fingerprint", fp)
