@@ -34,7 +34,7 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
 
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth_pages(
-            spark, n_hosts=n_hosts, instances_per_host=ipp, paragraphs=paragraphs
+            spark, n_hosts=n_hosts, instances_per_host=ipp, paragraphs=paragraphs, n_files=256
         ).write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
     seeds = synth_seeds(n_hosts, ipp)
@@ -43,7 +43,8 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
     # extraction lazy) so the full Python worker pool is forked and the
     # codegen/Arrow paths are hot before the measured run
     wres = Crawler(
-        spark, pages, seeds[: max(2, n_hosts // 50)], assume_unique_urls=True
+        spark, pages, seeds[: max(2, n_hosts // 50)], assume_unique_urls=True,
+        pages_path=corpus_path,
     ).crawl()
     wres.extracted.agg(F.sum(F.length("text"))).collect()
 
@@ -52,7 +53,8 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
     # skip the dedup-latest window, the one full-corpus shuffle; at scale the
     # same invariant comes from Iceberg MERGE on url
     crawler = Crawler(
-        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True
+        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True,
+        pages_path=CORPUS,
     )
     result = crawler.crawl()
     # one action that FORCES the extraction UDF (a bare count() would let

@@ -95,7 +95,7 @@ def gen_corpus() -> None:
         return
     spark = get_spark("scale_corpus_gen", cores=32, shuffle_partitions=32)
     synth_pages(
-        spark, n_hosts=N_HOSTS, instances_per_host=IPP, paragraphs=PARAGRAPHS
+        spark, n_hosts=N_HOSTS, instances_per_host=IPP, paragraphs=PARAGRAPHS, n_files=256
     ).write.mode("overwrite").parquet(CORPUS)
     spark.stop()
 
@@ -113,14 +113,16 @@ def run_child(cores: int) -> None:
     # warmup crawl with extraction forced (fork the full worker pool, warm
     # codegen + Arrow paths); crawl() alone leaves extraction lazy
     wres = Crawler(
-        spark, pages, seeds[: max(4, N_HOSTS // 50)], assume_unique_urls=True
+        spark, pages, seeds[: max(4, N_HOSTS // 50)], assume_unique_urls=True,
+        pages_path=CORPUS,
     ).crawl()
     wres.extracted.agg(F.sum(F.length("text"))).collect()
 
     t0 = time.time()
     # one capture per url by construction -> no dedup-latest corpus shuffle
     crawler = Crawler(
-        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True
+        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True,
+        pages_path=CORPUS,
     )
     result = crawler.crawl()
     # force the extraction UDF: count() alone would let Catalyst prune the

@@ -143,6 +143,7 @@ class Crawler:
         robots: DataFrame | None = None,
         user_agent: str = "upton-spark",
         catalog: ManifestCatalog | None = None,
+        pages_path: str | None = None,
         next_instance_page_url_fn: Callable[[str, int], str] | None = None,
         max_instance_pages: int = 16,
         expected_url_capacity: int = 1 << 20,
@@ -210,6 +211,13 @@ class Crawler:
         atexit.register(self.close)
         self.spark = spark
         self.pages = pages
+        # pages_path: set when ``pages`` is a plain parquet/Iceberg table on
+        # disk. Enables file-level pruning for small fetch sets (the index
+        # phase): a url-only prescan finds the files holding any candidate,
+        # and the html-bearing probe reads ONLY those — the poor man's
+        # Iceberg metadata pruning. Without it the index join decompresses
+        # the whole corpus html column to fetch a few thousand index pages.
+        self.pages_path = pages_path
         self.seeds = seeds
         self.index_cached = index_cached
         self.instance_cached = instance_cached
@@ -280,7 +288,43 @@ class Crawler:
                 )
         return self._pages_latest
 
-    def _join_bodies(self, small: DataFrame, url_col: str = "url") -> DataFrame:
+    def _pruned_pages(self, keys: DataFrame, url_col: str) -> DataFrame | None:
+        """File-level pruning for a small fetch set: a url-column-only
+        prescan (no html decompression) finds which corpus files contain any
+        candidate url; the html-bearing probe then reads ONLY those files.
+        Correct under dedup-latest — every capture of a matched url lives in
+        a kept file, so the per-url latest window over the pruned subset
+        equals the global one. Returns None when unavailable (no
+        pages_path) or not worthwhile (candidates touch most files)."""
+        if self.pages_path is None or not self.broadcast_frontier:
+            return None
+        files = [
+            r["_f"]
+            for r in self.pages.select(
+                F.col("url").alias(url_col), F.input_file_name().alias("_f")
+            )
+            .join(F.broadcast(keys), url_col, "left_semi")
+            .select("_f")
+            .distinct()
+            .collect()
+        ]
+        if not files or not all(files):
+            return None
+        if len(files) >= max(1, len(self.pages.inputFiles())) * 0.5:
+            return None
+        pruned = self.spark.read.parquet(*files)
+        if self.assume_unique_urls:
+            return pruned.select("url", "html")
+        w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
+        return (
+            pruned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "html")
+        )
+
+    def _join_bodies(
+        self, small: DataFrame, url_col: str = "url", prune_files: bool = False
+    ) -> DataFrame:
         """small ⟕ pages on url, without ever shuffling the corpus.
 
         Spark cannot broadcast the PRESERVED side of an outer join (BuildRight
@@ -290,14 +334,22 @@ class Crawler:
           matched   = pages ⋈ broadcast(small)         (inner, BuildRight ok)
           unmatched = small ⟕̸ broadcast(matched urls)  (anti, NULL body)
 
-        Both corpus scans stream column-pruned (url+html, then url-only).
+        Both corpus scans stream column-pruned (url+html, then url-only);
+        with ``prune_files`` (and pages_path set) the html-bearing scan is
+        additionally restricted to the files a url-only prescan matched.
         Past broadcastable frontier sizes set broadcast_frontier=False and
         let AQE/SMJ handle it with bucketed tables."""
-        pl = self.pages_latest()
-        if url_col != "url":
-            pl = pl.withColumnRenamed("url", url_col)
-        if not self.broadcast_frontier:
-            return small.join(pl, url_col, "left")
+        pl = None
+        if prune_files:
+            pl = self._pruned_pages(small.select(url_col).distinct(), url_col)
+            if pl is not None and url_col != "url":
+                pl = pl.withColumnRenamed("url", url_col)
+        if pl is None:
+            pl = self.pages_latest()
+            if url_col != "url":
+                pl = pl.withColumnRenamed("url", url_col)
+            if not self.broadcast_frontier:
+                return small.join(pl, url_col, "left")
         matched = pl.join(F.broadcast(small), url_col, "inner")
         matched_keys = matched.select(url_col).distinct()
         unmatched = small.join(F.broadcast(matched_keys), url_col, "left_anti")
@@ -366,7 +418,13 @@ class Crawler:
         if update_bloom:
             dedup_ops.build_bloom(distinct_new, into=self._bloom)
         self._seen_count += n_new
-        return self._materialize(seen.unionByName(new_rows), "urls_seen")
+        merged = seen.unionByName(new_rows)
+        if not update_bloom:
+            # no later round consults the seen set either (update_bloom=False
+            # means the crawl ends after this merge): skip the write job and
+            # hand back the lazy union — its plan is one parquet read deep
+            return merged
+        return self._materialize(merged, "urls_seen")
 
     # ----------------------------------------------------------- index phase
     def run_index_phase(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -433,7 +491,7 @@ class Crawler:
         )
         cand = dedup_ops.with_url_hashes(cand, "fetch_url")
 
-        fetched = self._join_bodies(cand, "fetch_url").withColumn(
+        fetched = self._join_bodies(cand, "fetch_url", prune_files=True).withColumn(
             "body_empty", F.col("html").isNull() | (F.length("html") == 0)
         )
         w = Window.partitionBy("seed_id").orderBy("page_k")
@@ -453,6 +511,16 @@ class Crawler:
             ).withColumn("cache_hit", F.coalesce("cache_hit", F.lit(False)))
         else:
             fetched = fetched.withColumn("cache_hit", F.lit(False))
+        if self.index_fn is None:
+            # default link projection: run the extraction UDF in the SAME
+            # pass that materializes the fetched index pages — link rows then
+            # derive lazily from the materialized parquet, saving one
+            # driver-blocking job per crawl (an index_fn override needs the
+            # two-pass shape because it transforms the fetched DataFrame)
+            fetched = fetched.withColumn(
+                "hrefs",
+                extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
+            )
         fetched = self._materialize(fetched, "index_fetched")
 
         pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
@@ -477,10 +545,21 @@ class Crawler:
             )
         self._note_lineage("index", 0, counts)
 
-        links = self._project_links(
-            fetched.filter(F.col("chain_valid") & ~F.col("body_empty")),
-            F.col("page_k"),
-        )
+        valid = fetched.filter(F.col("chain_valid") & ~F.col("body_empty"))
+        if self.index_fn is None:
+            links = (
+                valid.select(
+                    "seed_id",
+                    F.col("page_k").cast("int").alias("page_round"),
+                    F.posexplode_outer("hrefs").alias("pos", "url"),
+                )
+                .filter(F.col("pos").isNotNull())
+                .select("seed_id", "page_round", "pos", "url")
+            )
+            # lazy: reads the materialized index_fetched parquet; the frontier
+            # build materializes downstream
+            return links, seen
+        links = self._project_links(valid, F.col("page_k"))
         return self._materialize(links, "links"), seen
 
     def _project_links(self, fetched: DataFrame, page_round_col) -> DataFrame:
@@ -572,7 +651,7 @@ class Crawler:
             )
 
             admitted = cand.filter(F.col("admitted"))
-            fetched = self._join_bodies(admitted, "fetch_url").withColumn(
+            fetched = self._join_bodies(admitted, "fetch_url", prune_files=True).withColumn(
                 "body_empty", F.col("html").isNull() | (F.length("html") == 0)
             )
             fetched = self._materialize(fetched, "index_seq_fetched")
@@ -683,7 +762,9 @@ class Crawler:
         rounds_done = 0
         while rounds_done < max_rounds:
             queued = frontier.filter(F.col("status") == "queued")
-            if queued.limit(1).count() == 0:
+            # emptiness needs a driver check only on entry: later iterations
+            # only continue when the previous round left deferred/retry rows
+            if rounds_done == 0 and queued.limit(1).count() == 0:
                 break
             # one fetch decision per distinct url; lowest-priority row wins
             w = Window.partitionBy("url_hash").orderBy("priority", "seed_id", "instance_index")
@@ -696,12 +777,14 @@ class Crawler:
             blocked = cand.filter(~F.col("robots_allowed"))
             allowed_cand = cand.filter(F.col("robots_allowed"))
 
-            if self.instance_cached:
+            if self.instance_cached and self._seen_count > 0:
                 cache_hits = allowed_cand.join(
                     seen.select("url_hash").distinct(), "url_hash", "left_semi"
                 )
                 new_urls = dedup_ops.dedup_against_seen(self.spark, allowed_cand, seen, self._bloom)
             else:
+                # empty seen set (fresh crawl, round 0): the Bloom probe and
+                # both joins are identities — skip the jobs entirely
                 cache_hits = allowed_cand.limit(0)
                 new_urls = allowed_cand
 
@@ -807,8 +890,14 @@ class Crawler:
                         F.col("_new_status")
                     ),
                 )
+            status_map = status_map.dropDuplicates(["url_hash"])
+            if self.broadcast_frontier:
+                # one row per decided url this round — under the same
+                # contract that makes the frontier broadcastable, broadcast
+                # it so the frontier is never shuffled for the status merge
+                status_map = F.broadcast(status_map)
             frontier = (
-                frontier.join(status_map.dropDuplicates(["url_hash"]), "url_hash", "left")
+                frontier.join(status_map, "url_hash", "left")
                 .withColumn(
                     "attempts",
                     F.when(
@@ -941,7 +1030,11 @@ class Crawler:
             frontier, seen, max_rounds=max_fetch_rounds, stop_after_round=stop_after_round
         )
         frontier = self._instance_pagination(frontier, seen)
-        extracted = self.extract(self.attach_bodies(frontier))
+        # project the frontier down to what extraction consumes before it
+        # rides the broadcast body join — the driver-side hash relation
+        # shrinks ~2x vs broadcasting all frontier columns
+        slim = frontier.select("url", "seed_id", "instance_index", "pagination_index", "status")
+        extracted = self.extract(self.attach_bodies(slim))
         result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
         if self.catalog is not None:
             self.catalog.commit(
@@ -1000,7 +1093,11 @@ class Crawler:
             frontier, seen, max_rounds=max_fetch_rounds, start_round=start_round
         )
         frontier = self._instance_pagination(frontier, seen)
-        extracted = self.extract(self.attach_bodies(frontier))
+        # project the frontier down to what extraction consumes before it
+        # rides the broadcast body join — the driver-side hash relation
+        # shrinks ~2x vs broadcasting all frontier columns
+        slim = frontier.select("url", "seed_id", "instance_index", "pagination_index", "status")
+        extracted = self.extract(self.attach_bodies(slim))
         result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
         self.catalog.commit(
             -1,

@@ -62,9 +62,16 @@ def get_spark(
         .config("spark.sql.parquet.columnarReaderBatchSize", "256")
         # html-heavy parquet compresses 20-40x (repetitive markup): a default
         # 128MB split decompresses to multi-GB per task and OOMs the heap at
-        # full task concurrency. 16MB splits keep per-task working sets
-        # bounded at any compression ratio (spill-aware sizing, SURVEY.md §4).
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # full task concurrency. Small splits ALSO kill last-wave task
+        # quantization: at 16m the bench corpus made 34 x ~7s extraction
+        # tasks, so the final wave idled 6 of 8 cores for a full task — 6m
+        # gives ~3x more, shorter tasks and near-even core packing at any
+        # level (spill-aware sizing, SURVEY.md §4).
+        .config("spark.sql.files.maxPartitionBytes", "6m")
+        # default 4MB open-cost forces one tiny html file per task; 1m packs
+        # ~2 of the corpus's ~2MB files per task — fewer task round-trips
+        # while keeping waves even
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.ui.enabled", "false")
         # preload pandas/numpy/engine modules into the worker daemon so
         # forked UDF workers don't pay a per-fork import storm (see

@@ -88,6 +88,7 @@ def synth_pages(
     page_size: int = 50,
     skew: float = 0.7,
     paragraphs: int = 4,
+    n_files: int | None = None,
 ) -> DataFrame:
     """The ``pages`` corpus: every instance page + every non-empty index
     pagination page for every host (schemas.PAGES shape)."""
@@ -106,8 +107,18 @@ def synth_pages(
             F.sequence(F.lit(1), F.ceil(F.col("n_instances") / F.lit(page_size)).cast("int"))
         ).alias("i"),
     ).withColumn("kind", F.lit("index"))
-    rows = instances.unionByName(index_pages).repartition(
-        max(spark.sparkContext.defaultParallelism, 8), "host_id", "i", "kind"
+    # Range-partition by (kind, host, page) so index pages cluster into few
+    # output files — the physical layout that lets the crawler's file-level
+    # prescan pruning (Crawler._pruned_pages) fetch index chains without
+    # decompressing the instance html (Iceberg tables get the same effect
+    # from a sort order + metadata pruning). Generation stays parallel: the
+    # instance range still spreads over all partitions. ``n_files`` sets the
+    # output file count: a parquet file is effectively one row group here,
+    # so files are the real scan-task granularity — many small files pack
+    # evenly onto any core count (no last-wave quantization), where few big
+    # ones leave cores idle in the final wave.
+    rows = instances.unionByName(index_pages).repartitionByRange(
+        n_files or max(spark.sparkContext.defaultParallelism, 8), "kind", "host_id", "i"
     )
 
     def render(batches):
