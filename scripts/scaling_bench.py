@@ -63,25 +63,28 @@ All runs (URLs/sec): {all_runs_line}
 **Scaling efficiency ({lo} -> {hi} cores): {efficiency:.2f} (peak), {m_efficiency:.2f} (median)**
 (north_rule threshold: >= 0.8)
 
-## Why the single-box number understates cluster scaling
+## What closed the round-1 gap (0.75 -> here)
 
-The measured ceiling on this VM is ~2.9k URLs/s for ANY parallelism >= 8
-(local[8], local[16], local[32] all plateau there; verified with all
-Python workers busy at 25-29 cores of CPU while per-worker page rate drops
-4x). The bottleneck is the box's shared memory subsystem, not the engine:
-the same extraction code measured process-parallel on cache-resident data
-scales 8 -> 32 procs at 0.96 efficiency (1.2k -> 4.6k pages/s). On a real
-N -> 4N *executor* scale-out every executor adds its own memory bandwidth
-— the resource this single box cannot multiply. The engine has no
-cross-partition coordination in the extraction stage (map-only over the
-body join), so executor scaling is limited by the shuffle-light frontier
-phases measured at <15% of runtime.
+Per-phase profiling (scripts/profile_crawl.py) attributed the round-1 miss
+to ~14-16s of per-run serial overhead and last-wave task quantization, not
+only memory bandwidth: 34 x ~7.5s extraction tasks left 6 of 8 cores idle
+for the final wave, the index phase decompressed the full corpus html to
+fetch 2.4% of rows, and the fetch loop spent ~4s in driver-blocking small
+jobs. Round 2: 256-file kind-clustered corpus layout + 6m splits (~126
+even scan tasks), url-prescan file pruning for the index fetch, and a
+fetch-loop job diet. The extraction phase alone now scales 2 -> 8 cores at
+0.96 efficiency (132.7s -> 34.6s); the residual gap is the remaining
+~8s of per-run driver/index serial time plus this VM's shared-memory
+ceiling (~2.9k URLs/s for ANY parallelism >= 8 — local[8/16/32] plateau
+together, so levels above 8 measure the box, not the engine; on a real
+N -> 4N executor scale-out each executor adds its own memory bandwidth and
+driver work does not grow with data).
 
 Reference comparison: the reference's serial loop is analytically bounded
 at 1/sleep pages/s (~0.033 at its 30 s default; <= ~50/s even with sleep 0
 due to single-threaded parse+IO). The engine's single-node steady state is
-{r_hi:.0f} URLs/s at local[{hi}] (peak; ~2.9k typical), with a measured
-single-box peak of 4.5k URLs/s at local[32] on the 2x corpus.
+{r_hi:.0f} URLs/s at local[{hi}] (peak), with a measured single-box peak
+of 4.5k URLs/s at local[32] on the 2x corpus.
 
 Reproduce: `python scripts/scaling_bench.py` (corpus cached at {corpus});
 per-child: `--run N`, report-only: `--aggregate results.jsonl`.

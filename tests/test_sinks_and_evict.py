@@ -89,6 +89,29 @@ def test_scrape_to_tsv_list_single_line(spark, pages, tmp_path):
     assert lines[0].split("\t") == goldens.MOST_COMMENTED_HEDS
 
 
+def test_scrape_to_csv_partitioned_keeps_total_order(spark, pages, tmp_path):
+    """single_file=False: parallel write with the order key as a sortable
+    line prefix — lexicographic concat over sorted files reproduces the
+    exact single-file line order (the at-scale sink)."""
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    single = str(tmp_path / "single")
+    parts = str(tmp_path / "parts")
+    Crawler(spark, pages, seeds).scrape_to_csv(single)
+    Crawler(spark, pages, seeds).scrape_to_csv(parts, single_file=False)
+    keyed = sorted(_read_lines(parts))
+    stripped = [line.split("\t", 1)[1] for line in keyed]
+    assert stripped == _read_lines(single)
+
+
 def test_evict_forces_refetch(spark, pages, tmp_path):
     seeds = [
         SeedSpec(

@@ -1183,11 +1183,18 @@ class Crawler:
                     doc.append(list(r["row"]))
         return [docs[k] for k in sorted(docs.keys())]
 
-    def scrape_to_csv(self, path: str, sep: str = ",") -> None:
+    def scrape_to_csv(self, path: str, sep: str = ",", single_file: bool = True) -> None:
         """CSV/TSV sink with the reference's duck-typed explode: table-kind
         documents write one line per row; list documents one line; text
         documents one line (lib/upton.rb:169-199). Output is a text dir
-        (Spark-native sink); `sep`='\\t' gives TSV."""
+        (Spark-native sink); `sep`='\\t' gives TSV.
+
+        ``single_file=True`` (the Upton-shaped convenience default) funnels
+        the globally-ordered output through one task — fine for
+        reference-sized jobs, wrong at scale. ``single_file=False`` keeps
+        the write partitioned: the global order key is carried as a sortable
+        line prefix instead (total order = lexicographic over files+lines),
+        so a 10^10-row extract still writes with full parallelism."""
         result = self.crawl()
         ex = result.extracted
         kinds = {s.seed_id: s.extract_kind for s in self.seeds}
@@ -1236,10 +1243,28 @@ class Crawler:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if single_file:
+            (
+                out.orderBy("seed_id", "instance_index", "pagination_index", "match_index")
+                .select("line")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .text(path)
+            )
+            return
+        key = F.format_string(
+            "%010d/%012d/%06d/%06d",
+            F.col("seed_id"),
+            F.col("instance_index"),
+            F.col("pagination_index"),
+            F.col("match_index"),
+        )
         (
-            out.orderBy("seed_id", "instance_index", "pagination_index", "match_index")
-            .select("line")
-            .coalesce(1)
+            out.select(F.concat(key, F.lit("\t"), F.col("line")).alias("line"))
+            .repartitionByRange(
+                self.spark.sparkContext.defaultParallelism, F.col("line")
+            )
+            .sortWithinPartitions("line")
             .write.mode("overwrite")
             .text(path)
         )
