@@ -575,8 +575,9 @@ def q_embedding_lsh_buckets(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload → decode(stub)/resize/featurize
-    via mapInPandas; per-media-type rollup of real Spark-side stats.
-    Rows-only: the decode stub is engine-internal, not SQL."""
+    via mapInPandas; per-media-type rollup of real Spark-side stats. The
+    deterministic fake decoder is md5-seeded xorshift64*, so even the stub
+    pipeline carries a SQL oracle (recursive-CTE replay of the stream)."""
     from upton_spark.operators.multimodal import decode_and_featurize, synth_media
 
     media = synth_media(spark, n_assets=96)
@@ -1252,6 +1253,43 @@ def oracle_sql() -> dict[str, str]:
         # with duration_ms = 3000 + 100*(i%7); frame sampling every 500 ms
         # yields floor((duration-1)/500)+1 frames — recomputed independently
         # from the generation formula.
+        # full replay of the engine's md5-seeded xorshift64* fake decoder:
+        # payloads reconstruct as repeat(md5('asset-'||i), k), the seed is
+        # md5_number_lower of the hex payload, and a recursive CTE steps the
+        # same 64-value stream per asset (HUGEINT emulates uint64 wraparound
+        # for the << 25)
+        "multimodal_features": """
+            WITH RECURSIVE assets AS (
+              SELECT i AS asset_id,
+                     CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+                     16 * (8 + 2 * (i % 5)) AS n_bytes,
+                     repeat(md5('asset-' || CAST(i AS VARCHAR)), CAST(8 + 2 * (i % 5) AS INT)) AS hexpayload
+              FROM range(0, 96) t(i)
+            ), seeds AS (
+              SELECT asset_id, media_type, n_bytes,
+                     CASE WHEN md5_number_lower(hexpayload) = 0 THEN CAST(1 AS UBIGINT)
+                          ELSE md5_number_lower(hexpayload) END AS seed
+              FROM assets
+            ), stream(asset_id, step, x) AS (
+              SELECT asset_id, 0, seed FROM seeds
+              UNION ALL
+              SELECT asset_id, step + 1, xor(y2, y2 >> 27)
+              FROM (
+                SELECT asset_id, step,
+                       xor(y1, CAST(CAST(y1 AS HUGEINT) * 33554432 % 18446744073709551616 AS UBIGINT)) AS y2
+                FROM (SELECT asset_id, step, x, xor(x, x >> 12) AS y1 FROM stream)
+              )
+              WHERE step < 64
+            ), intensities AS (
+              SELECT asset_id, avg(CAST(x AS DOUBLE) / 18446744073709551616) AS mean_intensity
+              FROM stream WHERE step >= 1 GROUP BY asset_id
+            )
+            SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   round(avg(mean_intensity), 4) AS avg_intensity
+            FROM seeds JOIN intensities USING (asset_id)
+            GROUP BY media_type
+        """,
         "media_frame_sample": """
             SELECT i AS asset_id,
                    CAST(floor((3000 + 100*(i % 7) - 1) / 500) + 1 AS BIGINT) AS n_frames

@@ -54,14 +54,19 @@ def decoder_available() -> bool:
 
 
 def _fake_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
-    """Deterministic stand-in for decode+resize: expands a BLAKE2 stream of
-    the payload into an (h, w) float grid in [0, 1]. Same payload → same
-    pixels, any size — keeps every downstream stage (resize, features,
-    embedding) real and testable without a codec."""
+    """Deterministic stand-in for decode+resize: expands an xorshift64*
+    stream seeded from the payload into an (h, w) float grid in [0, 1].
+    Same payload → same pixels, any size — keeps every downstream stage
+    (resize, features, embedding) real and testable without a codec.
+
+    Seed = little-endian uint64 of md5(lowercase-hex(payload)) digest bytes
+    [8:16] — i.e. DuckDB's ``md5_number_lower(hex-string)`` — so the whole
+    fake pipeline is replayable by a SQL oracle (a recursive CTE steps the
+    same xorshift chain)."""
     h, w = out_hw
     n = h * w
-    digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
-    seed = struct.unpack("<Q", digest)[0]
+    digest = hashlib.md5((payload or b"").hex().encode()).digest()
+    seed = struct.unpack("<Q", digest[8:16])[0]
     # xorshift64* stream — cheap, deterministic, numpy-vectorizable
     out = np.empty(n, dtype=np.uint64)
     x = np.uint64(seed or 1)
@@ -146,12 +151,12 @@ def frame_sample(
 
 
 def synth_media(spark, n_assets: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests/benches."""
+    """Deterministic fake media table for tests/benches. Payload bytes are
+    md5-derived (16-byte digest repeated) so a SQL oracle can reconstruct
+    them as repeat(md5('asset-' || i), k)."""
     rows = []
     for i in range(n_assets):
-        payload = hashlib.blake2b(f"asset-{i}".encode(), digest_size=32).digest() * (
-            4 + i % 5
-        )
+        payload = hashlib.md5(f"asset-{i}".encode()).digest() * (8 + 2 * (i % 5))
         kind = ["image", "audio", "video"][i % 3]
         rows.append(
             (
