@@ -54,7 +54,7 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
     # same invariant comes from Iceberg MERGE on url
     crawler = Crawler(
         spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True,
-        pages_path=CORPUS,
+        pages_path=corpus_path,
     )
     result = crawler.crawl()
     # one action that FORCES the extraction UDF (a bare count() would let
