@@ -85,6 +85,45 @@ def test_kill_and_resume_identical(spark, pages, tmp_path):
     assert sorted(r["url"] for r in resumed.urls_seen.collect()) == ref_seen
 
 
+def test_delta_commits_and_resume_across_compaction(spark, pages, tmp_path):
+    """At-scale round commits are DELTA-based: between compactions a round
+    writes only its status map / newly-seen rows (politeness-bounded), never
+    the whole frontier; full tables land every compact_every rounds and at
+    the end, superseding the deltas. Resume must replay deltas in round
+    order and stay byte-identical across a compaction boundary."""
+    ref = Crawler(
+        spark, pages, [basic_seed(sleep_time_between_requests=30.0)], round_budget_s=30.0
+    ).crawl()
+    ref_texts = _texts(ref)
+
+    cat = ManifestCatalog(spark, str(tmp_path / "cat_delta"))
+    crawler = Crawler(
+        spark,
+        pages,
+        [basic_seed(sleep_time_between_requests=30.0)],
+        round_budget_s=30.0,
+        catalog=cat,
+        compact_every=2,
+    )
+    with pytest.raises(KilledCrawl):
+        crawler.crawl(stop_after_round=2)  # rounds 0(full),1(compact),2(delta)
+    snap = cat.latest()
+    delta_tables = [n for n in snap.tables if n.startswith("frontier_delta_r")]
+    assert delta_tables == ["frontier_delta_r2"]  # r1 superseded by compaction
+    resumed = Crawler(
+        spark,
+        pages,
+        [basic_seed(sleep_time_between_requests=30.0)],
+        round_budget_s=30.0,
+        catalog=cat,
+        compact_every=2,
+    ).resume()
+    assert _texts(resumed) == ref_texts
+    # final commit supersedes all deltas
+    final = cat.latest()
+    assert not any(n.startswith("frontier_delta_r") for n in final.tables)
+
+
 def test_recrawl_uses_stash(spark, pages, tmp_path):
     """Second crawl against the same catalog: all instance pages are cache
     hits (0 live fetches), mirroring the reference's stash behavior

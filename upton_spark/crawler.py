@@ -41,6 +41,7 @@ import os
 import shutil
 import tempfile
 from dataclasses import dataclass
+from datetime import datetime, timezone
 from typing import Callable
 
 import pandas as pd
@@ -155,7 +156,15 @@ class Crawler:
         max_fetch_attempts: int = 3,
         index_fn: Callable[[DataFrame], DataFrame] | None = None,
         clock: str | None = None,
+        compact_every: int = 8,
     ):
+        # ``compact_every``: the fetch loop keeps frontier/seen-set updates
+        # DELTA-based — each round commits only that round's status map and
+        # newly-seen rows (politeness-bounded size) instead of rewriting the
+        # whole frontier, which at a 10^10-row frontier would make every
+        # round O(frontier). Full tables are materialized/committed on entry,
+        # every ``compact_every`` rounds (bounding lazy plan depth and
+        # resume replay length), and when the loop ends.
         # ``clock`` pins the fetched_at stash-annotation timestamp (the
         # reference stamps Time.now into cached files, downloader.rb:100-116)
         # to a fixed 'yyyy-MM-dd HH:mm:ss' value for deterministic tests;
@@ -198,6 +207,7 @@ class Crawler:
         self.max_fetch_attempts = max_fetch_attempts
         self.index_fn = index_fn
         self.clock = clock
+        self.compact_every = max(1, compact_every)
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -399,17 +409,22 @@ class Crawler:
 
     def _mark_seen(
         self, seen: DataFrame, new_urls: DataFrame, round_no: int, n_new: int,
-        update_bloom: bool = True,
-    ) -> DataFrame:
-        """seen ∪ new; merges the round's new URLs into the cumulative Bloom
-        via distributed partial bitmaps (driver OR-merge). update_bloom may
-        be False ONLY when no later round will consult the filter — a stale
-        Bloom would produce false negatives, which (unlike false positives)
-        break the no-refetch contract."""
+        update_bloom: bool = True, materialize: bool = True,
+    ) -> tuple[DataFrame, DataFrame]:
+        """seen ∪ new → (merged, new_rows); merges the round's new URLs into
+        the cumulative Bloom via distributed partial bitmaps (driver
+        OR-merge). update_bloom may be False ONLY when no later round will
+        consult the filter — a stale Bloom would produce false negatives,
+        which (unlike false positives) break the no-refetch contract.
+        ``materialize=False`` returns the lazy union (delta-based rounds:
+        the caller compacts every compact_every rounds); ``new_rows`` is the
+        round's seen-set delta for catalog commits."""
         distinct_new = dedup_ops.with_url_hashes(new_urls.select("url").distinct())
-        fetched_at = (
-            F.to_timestamp(F.lit(self.clock)) if self.clock else F.current_timestamp()
-        )
+        # frozen to a driver-side literal: with delta-based (lazy) seen
+        # merges a current_timestamp() expression would re-evaluate on every
+        # downstream action, stamping different times per consumer
+        stamp = self.clock or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        fetched_at = F.to_timestamp(F.lit(stamp))
         new_rows = (
             distinct_new.withColumn("first_round", F.lit(round_no))
             .withColumn("fetched_at", fetched_at)
@@ -419,12 +434,9 @@ class Crawler:
             dedup_ops.build_bloom(distinct_new, into=self._bloom)
         self._seen_count += n_new
         merged = seen.unionByName(new_rows)
-        if not update_bloom:
-            # no later round consults the seen set either (update_bloom=False
-            # means the crawl ends after this merge): skip the write job and
-            # hand back the lazy union — its plan is one parquet read deep
-            return merged
-        return self._materialize(merged, "urls_seen")
+        if not materialize or not update_bloom:
+            return merged, new_rows
+        return self._materialize(merged, "urls_seen"), new_rows
 
     # ----------------------------------------------------------- index phase
     def run_index_phase(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -535,7 +547,7 @@ class Crawler:
         }
         n_live = sum(v for (d, _), v in counts.items() if d == "fetched")
         if self.index_cached and n_live:
-            seen = self._mark_seen(
+            seen, _ = self._mark_seen(
                 seen,
                 fetched.filter(F.col("chain_valid") & ~F.col("cache_hit")).select(
                     F.col("fetch_url").alias("url")
@@ -671,7 +683,7 @@ class Crawler:
             }
             n_live = sum(v for (d, _), v in counts.items() if d == "fetched")
             if self.index_cached and n_live:
-                seen = self._mark_seen(
+                seen, _ = self._mark_seen(
                     seen,
                     admitted.filter(~F.col("cache_hit")).select(F.col("fetch_url").alias("url")),
                     round_no,
@@ -865,82 +877,143 @@ class Crawler:
             n_retry = sum(v for (d, _), v in counts.items() if d == "retry")
             n_failed = sum(v for (d, _), v in counts.items() if d == "failed")
 
+            ending = n_deferred == 0 and n_retry == 0
+            seen_delta = None
             if self.instance_cached and n_admitted:
                 # a later probe of the bloom happens only if more rounds run
                 # (deferred/retry rows) or instance pagination will re-enter
                 will_probe_again = (
-                    n_deferred > 0 or n_retry > 0 or self.next_instance_page_url_fn is not None
+                    not ending or self.next_instance_page_url_fn is not None
                 )
-                seen = self._mark_seen(
+                seen, seen_delta = self._mark_seen(
                     seen,
                     decisions.filter(F.col("decision") == "fetched").select("url"),
                     round_no,
                     n_admitted,
                     update_bloom=will_probe_again,
+                    materialize=False,
                 )
             self._note_lineage(phase, round_no, counts)
 
             status_map = decisions.filter(F.col("decision") != "deferred").select(
-                "url_hash", F.col("decision").alias("_new_status")
+                "url_hash", F.col("decision").alias("new_status")
             )
             if not self.instance_cached:
                 status_map = status_map.withColumn(
-                    "_new_status",
-                    F.when(F.col("_new_status") == "cache_hit", "fetched").otherwise(
-                        F.col("_new_status")
+                    "new_status",
+                    F.when(F.col("new_status") == "cache_hit", "fetched").otherwise(
+                        F.col("new_status")
                     ),
                 )
             status_map = status_map.dropDuplicates(["url_hash"])
-            if self.broadcast_frontier:
-                # one row per decided url this round — under the same
-                # contract that makes the frontier broadcastable, broadcast
-                # it so the frontier is never shuffled for the status merge
-                status_map = F.broadcast(status_map)
-            frontier = (
-                frontier.join(status_map, "url_hash", "left")
-                .withColumn(
-                    "attempts",
-                    F.when(
-                        (F.col("status") == "queued")
-                        & F.col("_new_status").isin("retry", "failed"),
-                        F.col("attempts") + 1,
-                    ).otherwise(F.col("attempts")),
-                )
-                .withColumn(
-                    "status",
-                    F.when(
-                        (F.col("status") == "queued")
-                        & F.col("_new_status").isNotNull()
-                        & (F.col("_new_status") != "retry"),
-                        F.col("_new_status"),
-                    ).otherwise(F.col("status")),
-                )
-                .drop("_new_status")
-            )
-            frontier = self._materialize(frontier, "frontier_round")
+            frontier = self._merge_status(frontier, status_map)
+
+            # delta-based rounds: the whole frontier/seen-set is rewritten
+            # only on compaction (every compact_every rounds) or when the
+            # loop ends; in between, state stays a bounded stack of lazy
+            # broadcast-join/union layers over the last compacted parquet
+            # and the catalog carries per-round deltas (politeness-bounded
+            # size — never O(frontier)).
+            compact = ending or (rounds_done + 1) % self.compact_every == 0
+            if compact:
+                frontier = self._materialize(frontier, "frontier_round")
+                if seen_delta is not None and not ending:
+                    seen = self._materialize(seen, "urls_seen")
             if self.catalog is not None:
-                self.catalog.commit(
-                    round_no,
-                    {"frontier": frontier, "urls_seen": seen, "lineage": self.lineage_df()},
-                    metrics={
-                        "phase": phase,
-                        "round": round_no,
-                        "fetched": n_admitted,
-                        "deferred_by_politeness": n_deferred,
-                        "cache_hits": sum(v for (d, _), v in counts.items() if d == "cache_hit"),
-                        "blocked_by_robots": sum(v for (d, _), v in counts.items() if d == "blocked"),
-                        "retried": n_retry,
-                        "failed": n_failed,
-                        "urls_seen": self._seen_count,
-                    },
-                )
+                metrics = {
+                    "phase": phase,
+                    "round": round_no,
+                    "fetched": n_admitted,
+                    "deferred_by_politeness": n_deferred,
+                    "cache_hits": sum(v for (d, _), v in counts.items() if d == "cache_hit"),
+                    "blocked_by_robots": sum(v for (d, _), v in counts.items() if d == "blocked"),
+                    "retried": n_retry,
+                    "failed": n_failed,
+                    "urls_seen": self._seen_count,
+                }
+                if compact or rounds_done == 0:
+                    self.catalog.commit(
+                        round_no,
+                        {"frontier": frontier, "urls_seen": seen, "lineage": self.lineage_df()},
+                        metrics=metrics,
+                        drop_prefixes=("frontier_delta_r", "urls_seen_delta_r"),
+                    )
+                else:
+                    deltas = {f"frontier_delta_r{round_no}": status_map,
+                              "lineage": self.lineage_df()}
+                    if seen_delta is not None:
+                        deltas[f"urls_seen_delta_r{round_no}"] = seen_delta
+                    self.catalog.commit(round_no, deltas, metrics=metrics)
             round_no += 1
             rounds_done += 1
             if stop_after_round is not None and round_no > stop_after_round:
                 raise KilledCrawl(round_no)
-            if n_deferred == 0 and n_retry == 0:
+            if ending:
                 break
         return frontier, seen
+
+    def _merge_status(self, frontier: DataFrame, status_map: DataFrame) -> DataFrame:
+        """Apply one round's status delta (url_hash, new_status) to the
+        frontier: terminal statuses overwrite 'queued'; 'retry'/'failed'
+        increment attempts; 'retry' keeps the row queued. Used both by the
+        live loop and by resume-time delta replay (deltas MUST apply in
+        round order — a url decided 'retry' one round may be re-decided
+        later)."""
+        sm = status_map.withColumnRenamed("new_status", "_new_status")
+        if self.broadcast_frontier:
+            # one row per decided url per round — under the same contract
+            # that makes the frontier broadcastable, broadcast it so the
+            # frontier is never shuffled for the status merge
+            sm = F.broadcast(sm)
+        return (
+            frontier.join(sm, "url_hash", "left")
+            .withColumn(
+                "attempts",
+                F.when(
+                    (F.col("status") == "queued")
+                    & F.col("_new_status").isin("retry", "failed"),
+                    F.col("attempts") + 1,
+                ).otherwise(F.col("attempts")),
+            )
+            .withColumn(
+                "status",
+                F.when(
+                    (F.col("status") == "queued")
+                    & F.col("_new_status").isNotNull()
+                    & (F.col("_new_status") != "retry"),
+                    F.col("_new_status"),
+                ).otherwise(F.col("status")),
+            )
+            .drop("_new_status")
+        )
+
+    def _catalog_frontier(self, snap) -> DataFrame:
+        """Reconstruct the frontier at a snapshot: last full 'frontier'
+        table + per-round status deltas replayed in round order (full
+        commits drop superseded delta tables, so every delta present is
+        newer than the carried full table)."""
+        frontier = self.catalog.table(snap, "frontier")
+        delta_names = sorted(
+            (n for n in snap.tables if n.startswith("frontier_delta_r")),
+            key=lambda n: int(n.rsplit("r", 1)[1]),
+        )
+        for name in delta_names:
+            frontier = self._merge_status(frontier, self.catalog.table(snap, name))
+        if delta_names:
+            frontier = self._materialize(frontier, "frontier_resume")
+        return frontier
+
+    def _catalog_seen(self, snap) -> DataFrame:
+        """Reconstruct the seen-set at a snapshot: full table + newer
+        per-round deltas (grow-only, so a plain union)."""
+        seen = self.catalog.table(snap, "urls_seen")
+        delta_names = sorted(
+            (n for n in snap.tables if n.startswith("urls_seen_delta_r")),
+            key=lambda n: int(n.rsplit("r", 1)[1]),
+        )
+        for name in delta_names:
+            seen = seen.unionByName(self.catalog.table(snap, name))
+        return seen
 
     # ------------------------------------------------------ extraction phase
     def attach_bodies(self, frontier: DataFrame) -> DataFrame:
@@ -1022,7 +1095,7 @@ class Crawler:
         if self.catalog is not None:
             snap = self.catalog.latest()
             if snap is not None and "urls_seen" in snap.tables:
-                seen = self.catalog.table(snap, "urls_seen")
+                seen = self._catalog_seen(snap)
                 self._seen_count = self._load_bloom_from(seen)
         links, seen = self.run_index_phase(seen)
         frontier = self.build_frontier(links)
@@ -1047,6 +1120,7 @@ class Crawler:
                     "links": links,
                 },
                 metrics={"phase": "final", "urls_seen": self._seen_count},
+                drop_prefixes=("frontier_delta_r", "urls_seen_delta_r"),
             )
         return result
 
@@ -1062,7 +1136,7 @@ class Crawler:
         assert self.catalog is not None, "evict requires a catalog"
         snap = self.catalog.latest()
         assert snap is not None and "urls_seen" in snap.tables, "nothing to evict from"
-        seen = self.catalog.table(snap, "urls_seen")
+        seen = self._catalog_seen(snap)
         gone = dedup_ops.with_url_hashes(
             self.spark.createDataFrame([(u,) for u in urls], "url string")
         ).select("url_hash")
@@ -1071,6 +1145,7 @@ class Crawler:
             snap.round,
             {"urls_seen": remaining},
             metrics={"phase": "evict", "evicted": len(urls)},
+            drop_prefixes=("urls_seen_delta_r",),
         )
 
     def resume(self, *, max_fetch_rounds: int = 64) -> CrawlResult:
@@ -1080,8 +1155,8 @@ class Crawler:
         assert self.catalog is not None, "resume requires a catalog"
         snap = self.catalog.latest()
         assert snap is not None, "nothing to resume"
-        frontier = self.catalog.table(snap, "frontier")
-        seen = self.catalog.table(snap, "urls_seen")
+        frontier = self._catalog_frontier(snap)
+        seen = self._catalog_seen(snap)
         links = (
             self.catalog.table(snap, "links")
             if "links" in snap.tables
@@ -1108,6 +1183,7 @@ class Crawler:
                 "lineage": result.lineage,
             },
             metrics={"phase": "final", "urls_seen": self._seen_count},
+            drop_prefixes=("frontier_delta_r", "urls_seen_delta_r"),
         )
         return result
 

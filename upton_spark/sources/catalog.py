@@ -52,7 +52,17 @@ class ManifestCatalog:
         os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
 
     # -- write -------------------------------------------------------------
-    def commit(self, round_no: int, tables: dict[str, DataFrame], metrics: dict | None = None) -> Snapshot:
+    def commit(
+        self,
+        round_no: int,
+        tables: dict[str, DataFrame],
+        metrics: dict | None = None,
+        drop_prefixes: tuple[str, ...] = (),
+    ) -> Snapshot:
+        """Commit a snapshot. ``drop_prefixes`` stops carrying forward parent
+        tables whose name matches — used when a full-table compaction commit
+        supersedes the per-round delta tables (``frontier_delta_r*``,
+        ``urls_seen_delta_r*``) accumulated since the last full commit."""
         parent = self.latest()
         sid = (parent.snapshot_id + 1) if parent else 1
         snap = Snapshot(sid, round_no, parent.snapshot_id if parent else None, {}, metrics or {})
@@ -63,6 +73,8 @@ class ManifestCatalog:
         # carry forward tables not rewritten this round
         if parent:
             for name, path in parent.tables.items():
+                if any(name.startswith(p) for p in drop_prefixes):
+                    continue
                 snap.tables.setdefault(name, path)
         self._write_manifest(snap)
         return snap
@@ -127,10 +139,17 @@ class IcebergCatalog:
         self.spark = spark
         self.namespace = namespace
 
-    def commit(self, round_no: int, tables: dict[str, DataFrame], metrics: dict | None = None):
+    def commit(
+        self,
+        round_no: int,
+        tables: dict[str, DataFrame],
+        metrics: dict | None = None,
+        drop_prefixes: tuple[str, ...] = (),
+    ):
         for name, df in tables.items():
             df.writeTo(f"{self.namespace}.{name}").using("iceberg").createOrReplace()
-        # Iceberg tracks snapshot ids itself; metrics go to table properties.
+        # Iceberg tracks snapshot ids (and supersession of delta tables via
+        # replace) itself; metrics go to table properties.
         return None
 
 
