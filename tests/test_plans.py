@@ -135,6 +135,30 @@ def test_politeness_single_host_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning(host") == 1
 
 
+def test_status_merge_broadcasts_delta_not_frontier(spark):
+    """The per-round status merge must broadcast the (politeness-bounded)
+    delta side — the frontier itself is never shuffled for a status update
+    (the delta-commit contract at 10^10 rows)."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    pages = fixture_pages(spark)
+    seeds = [
+        SeedSpec(0, url_list=[f"{BASE}/webinar.html"], extract_selector="h1",
+                 extract_kind="text", sleep_time_between_requests=0.0)
+    ]
+    crawler = Crawler(spark, pages, seeds, assume_unique_urls=True)
+    frontier = crawler.build_frontier(
+        spark.createDataFrame([], "seed_id int, page_round int, pos int, url string")
+    )
+    delta = spark.createDataFrame(
+        [(123, "fetched")], "url_hash long, new_status string"
+    )
+    plan = plan_of(crawler._merge_status(frontier, delta), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_codegen_covers_quality_stats(spark, sf_dir):
     """Quality features must stay in whole-stage codegen (no Python eval)."""
     from upton_spark.operators.textops import with_quality_stats
