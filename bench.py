@@ -78,6 +78,39 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
     }
 
 
+def run_politeness_bench(spark, pages, corpus_path: str) -> dict:
+    """Multi-round politeness crawl over a 24-host slice: 1-token-budgeted
+    rounds exercise the delta-commit loop (sequential index chains + several
+    deferral rounds), measuring per-round driver overhead rather than bulk
+    extraction throughput."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.crawler import Crawler
+    from upton_spark.sources.corpus import synth_seeds
+
+    seeds = synth_seeds(600, 100, sleep_time=2.5)[300:312]
+    t0 = time.time()
+    crawler = Crawler(
+        spark, pages, seeds, assume_unique_urls=True, pages_path=corpus_path
+    )
+    result = crawler.crawl()
+    row = result.extracted.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
+    ).collect()[0]
+    rounds = (
+        result.lineage.groupBy("phase").agg(F.max("round").alias("r")).collect()
+    )
+    n_rounds = sum(r["r"] + 1 for r in rounds)
+    dt = time.time() - t0
+    return {
+        "hosts": len(seeds),
+        "rounds": n_rounds,
+        "extracted_rows": row["n"],
+        "seconds": round(dt, 2),
+        "rounds_per_sec": round(n_rounds / dt, 2),
+    }
+
+
 HEADLINE_QUERIES = [
     "q1_pricing_summary",
     "top_revenue_orders",
@@ -123,6 +156,12 @@ def main() -> None:
     timings["frontier_crawl"] = frontier_stats["seconds"]
     total += frontier_stats["seconds"]
 
+    politeness_stats = run_politeness_bench(
+        spark, spark.read.parquet(corpus_path), corpus_path
+    )
+    timings["politeness_rounds_crawl"] = politeness_stats["seconds"]
+    total += politeness_stats["seconds"]
+
     for name in HEADLINE_QUERIES:
         fn = queries[name]
         t0 = time.time()
@@ -143,6 +182,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
                 "frontier": frontier_stats,
+                "politeness_rounds": politeness_stats,
             }
         )
     )

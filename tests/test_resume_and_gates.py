@@ -53,6 +53,25 @@ def test_politeness_deferral_spreads_rounds(spark, pages):
     assert _texts(result) == goldens.HEADLINES  # order unchanged by deferral
 
 
+def test_bloom_path_equivalent_when_active(spark, pages):
+    """The Bloom pre-filter activates only past a seen-set size threshold
+    (below it the exact anti-join is strictly cheaper). Forcing activation
+    must not change extraction, ordering, or the seen set — Bloom false
+    positives are confirmed away, false negatives cannot exist."""
+    ref = Crawler(
+        spark, pages, [basic_seed(sleep_time_between_requests=30.0)], round_budget_s=30.0
+    ).crawl()
+    c = Crawler(
+        spark, pages, [basic_seed(sleep_time_between_requests=30.0)], round_budget_s=30.0
+    )
+    c._bloom_min_seen = 1  # activate after the first mark-seen
+    res = c.crawl()
+    assert _texts(res) == _texts(ref)
+    assert sorted(r["url"] for r in res.urls_seen.collect()) == sorted(
+        r["url"] for r in ref.urls_seen.collect()
+    )
+
+
 def test_kill_and_resume_identical(spark, pages, tmp_path):
     """Kill after the first committed fetch round; resume must produce the
     identical extraction set and URL-seen set (north_star resume rule)."""

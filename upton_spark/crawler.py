@@ -238,6 +238,13 @@ class Crawler:
         self.next_instance_page_url_fn = next_instance_page_url_fn
         self.max_instance_pages = max_instance_pages
         self._bloom = dedup_ops.BloomFilter.sized_for(expected_url_capacity, bloom_fpr)
+        # The Bloom pre-filter pays for itself only once the seen-set is big
+        # enough that the exact anti-join's build side hurts; below the
+        # threshold every round runs the plain anti-join (strictly cheaper:
+        # no bitmap build/broadcast jobs). On crossing it, the filter is
+        # built ONCE from the full seen-set, then maintained incrementally.
+        self._bloom_min_seen = 1 << 16
+        self._bloom_active = False
         self._lineage_rows: list[tuple] = []
         self._seen_count = 0
         self.seeds_df = spark.createDataFrame(
@@ -333,7 +340,11 @@ class Crawler:
         )
 
     def _join_bodies(
-        self, small: DataFrame, url_col: str = "url", prune_files: bool = False
+        self,
+        small: DataFrame,
+        url_col: str = "url",
+        prune_files: bool = False,
+        pages_override: DataFrame | None = None,
     ) -> DataFrame:
         """small ⟕ pages on url, without ever shuffling the corpus.
 
@@ -350,7 +361,11 @@ class Crawler:
         Past broadcastable frontier sizes set broadcast_frontier=False and
         let AQE/SMJ handle it with bucketed tables."""
         pl = None
-        if prune_files:
+        if pages_override is not None:
+            pl = pages_override
+            if url_col != "url":
+                pl = pl.withColumnRenamed("url", url_col)
+        elif prune_files:
             pl = self._pruned_pages(small.select(url_col).distinct(), url_col)
             if pl is not None and url_col != "url":
                 pl = pl.withColumnRenamed("url", url_col)
@@ -381,7 +396,8 @@ class Crawler:
         the driver, never the seen rows themselves (a .toPandas() here would
         pull ~10^10 hash rows through the driver at frontier scale)."""
         n = seen.count()
-        if n:
+        if n >= self._bloom_min_seen:
+            self._bloom_active = True
             dedup_ops.build_bloom(
                 dedup_ops.with_url_hashes(seen.select("url")), into=self._bloom
             )
@@ -430,10 +446,15 @@ class Crawler:
             .withColumn("fetched_at", fetched_at)
             .select("url_hash", "url", "first_round", "fetched_at")
         )
-        if update_bloom:
-            dedup_ops.build_bloom(distinct_new, into=self._bloom)
         self._seen_count += n_new
         merged = seen.unionByName(new_rows)
+        if update_bloom and self._bloom_active:
+            dedup_ops.build_bloom(distinct_new, into=self._bloom)
+        elif update_bloom and self._seen_count >= self._bloom_min_seen:
+            self._bloom_active = True
+            dedup_ops.build_bloom(
+                dedup_ops.with_url_hashes(merged.select("url")), into=self._bloom
+            )
         if not materialize or not update_bloom:
             return merged, new_rows
         return self._materialize(merged, "urls_seen"), new_rows
@@ -457,19 +478,13 @@ class Crawler:
             return self.run_index_phase_sequential(seen)
         return self.run_index_phase_speculative(seen)
 
-    def run_index_phase_speculative(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Corpus-replay index phase: ONE distributed pass, no driver loop.
-
-        The reference's pagination chain is sequential only because page k's
-        *emptiness* gates page k+1 (lib/upton.rb:295-311) — the URLs
-        themselves are predictable. Against a replay corpus (where "fetch" is
-        a join, so speculative over-read is free) we can therefore generate
-        every candidate page URL up front with ``sequence``+``explode``, join
-        ``pages`` once, and recover the chain-termination semantics with a
-        window: a page belongs to the valid prefix iff no earlier page of its
-        seed was empty. Lineage counts only the valid prefix, so the
-        politeness sleep-count goldens hold exactly. A live-HTTP deployment
-        flips ``index_sequential=True`` to avoid speculative requests."""
+    def _index_page_candidates(self) -> DataFrame:
+        """Every candidate index-pagination page URL, generated up front —
+        the URLs of a chain are predictable (only chain TERMINATION depends
+        on fetched bodies, lib/upton.rb:295-311), so both index phases can
+        know the full candidate universe: the speculative phase fetches it
+        in one pass, the sequential phase uses it to prescan-prune the
+        corpus once for all of its rounds."""
         index_seeds = self.seeds_df.filter(
             (F.col("seed_url") != "") & F.col("index_selector").isNotNull()
         )
@@ -501,7 +516,22 @@ class Crawler:
             .withColumn("fetch_url", resolve_url_udf(F.col("next_url_raw"), F.col("seed_url")))
             .withColumn("host", host_col(F.col("fetch_url")))
         )
-        cand = dedup_ops.with_url_hashes(cand, "fetch_url")
+        return dedup_ops.with_url_hashes(cand, "fetch_url")
+
+    def run_index_phase_speculative(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Corpus-replay index phase: ONE distributed pass, no driver loop.
+
+        The reference's pagination chain is sequential only because page k's
+        *emptiness* gates page k+1 (lib/upton.rb:295-311) — the URLs
+        themselves are predictable. Against a replay corpus (where "fetch" is
+        a join, so speculative over-read is free) we can therefore generate
+        every candidate page URL up front with ``sequence``+``explode``, join
+        ``pages`` once, and recover the chain-termination semantics with a
+        window: a page belongs to the valid prefix iff no earlier page of its
+        seed was empty. Lineage counts only the valid prefix, so the
+        politeness sleep-count goldens hold exactly. A live-HTTP deployment
+        flips ``index_sequential=True`` to avoid speculative requests."""
+        cand = self._index_page_candidates()
 
         fetched = self._join_bodies(cand, "fetch_url", prune_files=True).withColumn(
             "body_empty", F.col("html").isNull() | (F.length("html") == 0)
@@ -617,6 +647,12 @@ class Crawler:
             [s.pagination_max_pages * max(1, s.pagination_interval) for s in self.seeds] + [1]
         )
         seed_cols = [f.name for f in schemas.SEEDS.fields]
+        # candidate pagination URLs are predictable up front, so the corpus
+        # file-prune prescan runs ONCE for the whole phase, not per round
+        pl_index = self._pruned_pages(
+            self._index_page_candidates().select(F.col("fetch_url").alias("url")).distinct(),
+            "url",
+        )
         while round_no < max_rounds and state.count() > 0:
             cand = state.withColumn(
                 "next_url_raw",
@@ -657,13 +693,15 @@ class Crawler:
                     _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
                 ),
             )
-            cand = self._materialize(
-                polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id")),
-                "index_cand",
-            )
+            # one materialize per round (fetched) truncates the chain; cand
+            # is tiny (alive seeds) and recomputing its window per action is
+            # cheaper than a write+read round-trip
+            cand = polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id"))
 
             admitted = cand.filter(F.col("admitted"))
-            fetched = self._join_bodies(admitted, "fetch_url", prune_files=True).withColumn(
+            fetched = self._join_bodies(
+                admitted, "fetch_url", pages_override=pl_index, prune_files=True
+            ).withColumn(
                 "body_empty", F.col("html").isNull() | (F.length("html") == 0)
             )
             fetched = self._materialize(fetched, "index_seq_fetched")
@@ -692,10 +730,9 @@ class Crawler:
             if counts or round_no == 0:  # trailing empty rounds add no lineage
                 self._note_lineage("index", round_no, counts)
 
-            page_links = self._project_links(
-                fetched.filter(~F.col("body_empty")), F.lit(round_no)
+            links_parts.append(
+                self._project_links(fetched.filter(~F.col("body_empty")), F.lit(round_no))
             )
-            links_parts.append(self._materialize(page_links, "links_part"))
 
             # advance: admitted seeds move to the next pagination index and
             # survive only with a non-empty body; deferred seeds retry as-is.
@@ -708,7 +745,11 @@ class Crawler:
             deferred_state = cand.filter(~F.col("admitted")).select(
                 *seed_cols, "pagination_index", "prev_url"
             )
-            state = self._materialize(advanced.unionByName(deferred_state), "index_state")
+            state = advanced.unionByName(deferred_state)
+            if (round_no + 1) % self.compact_every == 0:
+                # the deferred branch chains state plans round-over-round;
+                # compact on the same cadence as the fetch loop
+                state = self._materialize(state, "index_state")
             round_no += 1
 
         if links_parts:
@@ -793,7 +834,10 @@ class Crawler:
                 cache_hits = allowed_cand.join(
                     seen.select("url_hash").distinct(), "url_hash", "left_semi"
                 )
-                new_urls = dedup_ops.dedup_against_seen(self.spark, allowed_cand, seen, self._bloom)
+                new_urls = dedup_ops.dedup_against_seen(
+                    self.spark, allowed_cand, seen,
+                    self._bloom if self._bloom_active else None,
+                )
             else:
                 # empty seen set (fresh crawl, round 0): the Bloom probe and
                 # both joins are identities — skip the jobs entirely
