@@ -59,6 +59,7 @@ from upton_spark.functions.udfs import (
     resolve_url_udf,
 )
 from upton_spark.operators import dedup as dedup_ops
+from upton_spark.operators import partitioning as part_ops
 from upton_spark.operators import politeness as polite_ops
 from upton_spark.operators import robots as robots_ops
 from upton_spark.sources.catalog import ManifestCatalog
@@ -157,6 +158,7 @@ class Crawler:
         index_fn: Callable[[DataFrame], DataFrame] | None = None,
         clock: str | None = None,
         compact_every: int = 8,
+        frontier_rows_per_bucket: int = 100_000,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -208,6 +210,7 @@ class Crawler:
         self.index_fn = index_fn
         self.clock = clock
         self.compact_every = max(1, compact_every)
+        self.frontier_rows_per_bucket = frontier_rows_per_bucket
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -693,10 +696,14 @@ class Crawler:
                     _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
                 ),
             )
-            # one materialize per round (fetched) truncates the chain; cand
-            # is tiny (alive seeds) and recomputing its window per action is
-            # cheaper than a write+read round-trip
-            cand = polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id"))
+            # cand is tiny (alive seeds) but its plan carries two Python-UDF
+            # stages: materializing once per round beats re-paying the
+            # Python-worker stage latency for every consumer (counts, fetch
+            # join, deferred-state) — measured ~3x on the politeness bench
+            cand = self._materialize(
+                polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id")),
+                "index_cand",
+            )
 
             admitted = cand.filter(F.col("admitted"))
             fetched = self._join_bodies(
@@ -745,11 +752,10 @@ class Crawler:
             deferred_state = cand.filter(~F.col("admitted")).select(
                 *seed_cols, "pagination_index", "prev_url"
             )
-            state = advanced.unionByName(deferred_state)
-            if (round_no + 1) % self.compact_every == 0:
-                # the deferred branch chains state plans round-over-round;
-                # compact on the same cadence as the fetch loop
-                state = self._materialize(state, "index_state")
+            # state rows = alive seeds (small even at frontier scale);
+            # materializing per round keeps the next round's UDF chain one
+            # parquet read deep instead of compounding across rounds
+            state = self._materialize(advanced.unionByName(deferred_state), "index_state")
             round_no += 1
 
         if links_parts:
@@ -793,7 +799,15 @@ class Crawler:
             )
             .withColumn("url", F.coalesce(F.col("url"), F.lit("")))
         )
-        return self._materialize(dedup_ops.with_url_hashes(frontier), "frontier")
+        hashed = dedup_ops.with_url_hashes(frontier)
+        # salted host partitioning (SURVEY.md §4.1): bound any partition's
+        # share of a Zipf-hot host before the frontier hits storage
+        salted = part_ops.salted_repartition(
+            hashed,
+            self.spark.sparkContext.defaultParallelism,
+            rows_per_bucket=self.frontier_rows_per_bucket,
+        )
+        return self._materialize(salted, "frontier")
 
     def run_fetch_rounds(
         self,
