@@ -53,6 +53,23 @@ def test_politeness_deferral_spreads_rounds(spark, pages):
     assert _texts(result) == goldens.HEADLINES  # order unchanged by deferral
 
 
+def test_robots_crawl_delay_tightens_politeness(spark, pages):
+    """A robots Crawl-delay larger than the seed's sleep budget must win
+    (max of the two): with delay=30 and budget=30 the 4 same-host instance
+    fetches spread across 4 rounds even though the seed itself sleeps 0."""
+    robots = robots_rules_df(
+        spark, [("www.example.com", "User-agent: *\nCrawl-delay: 30\n")]
+    )
+    crawler = Crawler(
+        spark, pages, [basic_seed()], robots=robots, round_budget_s=30.0
+    )
+    result = crawler.crawl()
+    inst = result.lineage.filter("phase = 'instance'").collect()
+    assert len({r["round"] for r in inst}) == 4
+    assert sum(r["deferred_by_politeness"] for r in inst) == 3 + 2 + 1
+    assert _texts(result) == goldens.HEADLINES
+
+
 def test_bloom_path_equivalent_when_active(spark, pages):
     """The Bloom pre-filter activates only past a seen-set size threshold
     (below it the exact anti-join is strictly cheaper). Forcing activation
