@@ -498,7 +498,9 @@ def q_embedding_cosine_pairs(spark, sf_dir):
 
 def q_embedding_ivf_topk(spark, sf_dir):
     """IVF ANN: k-means coarse quantizer (sample-trained, deterministic) →
-    cell assignment → nprobe-cell search. Rows-only: approximate by design."""
+    cell assignment (rounded-dot argmax) → nprobe-cell search. The trainer
+    is seeded numpy over an id-sorted sample, so the oracle generator
+    retrains identical centroids and replays assignment + search in SQL."""
     from upton_spark.operators.similarity import (
         ivf_topk,
         train_ivf_centroids,
@@ -946,6 +948,66 @@ def _lsh_bucket_cte(n_planes: int, extra_cols: str = "") -> str:
     """
 
 
+def _ivf_oracle() -> str | None:
+    """IVF search oracle: the coarse quantizer is deterministic seeded
+    numpy over the id-sorted sample, so the generator retrains the SAME
+    centroids from the parquet (via DuckDB, no Spark) and bakes them — the
+    SQL then independently assigns cells (rounded-dot argmax, first-max
+    tie-break) and searches the baked nprobe cells. Returns None when the
+    driver's sf0.01 table is unavailable at generation time (the query then
+    stays rows-only)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from upton_spark.operators.similarity import kmeans_unit_centroids
+
+        con = duckdb.connect()
+        sample = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "WHERE vec_id % 5 = 0 ORDER BY vec_id"
+        ).fetchall()
+        qrow = con.execute(
+            "SELECT CAST(embedding AS DOUBLE[]) FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id = 0"
+        ).fetchone()
+    except Exception:
+        return None
+    if not sample or qrow is None:
+        return None
+    cent = kmeans_unit_centroids(np.array([r[0] for r in sample], dtype=np.float64), 16, 5)
+    qvec = np.asarray(qrow[0], dtype=np.float64)
+    qn = qvec / max(np.linalg.norm(qvec), 1e-12)
+    probe_cells = [int(c) for c in np.argsort(-(cent @ qn))[:4]]
+    cent_sql = "[" + ",".join(
+        "[" + ",".join(repr(float(v)) for v in row) + "]" for row in cent
+    ) + "]"
+    qvec_sql = "[" + ",".join(repr(float(v)) for v in qvec) + "]"
+    cells_sql = ",".join(str(c) for c in probe_cells)
+    return f"""
+        WITH c AS (SELECT {cent_sql} AS cent),
+        e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        ), n AS (
+          SELECT vec_id, ev,
+                 list_transform(ev, x -> x / greatest(sqrt(list_sum(list_transform(ev, y -> y*y))), 1e-12)) AS en
+          FROM e
+        ), cells AS (
+          SELECT vec_id, ev,
+                 list_transform(range(1, 17), ci ->
+                   round(list_sum(list_transform(range(1, 65), d -> en[d] * cent[ci][d])), 6)) AS dots
+          FROM n, c
+        ), assigned AS (
+          SELECT vec_id, ev, list_position(dots, list_aggregate(dots, 'max')) - 1 AS ivf_cell
+          FROM cells
+        )
+        SELECT vec_id, round(list_cosine_similarity(ev, {qvec_sql}), 6) AS cosine
+        FROM assigned WHERE ivf_cell IN ({cells_sql})
+        ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
 def _lsh_buckets_oracle() -> str:
     return (
         _lsh_bucket_cte(8)
@@ -966,7 +1028,9 @@ def _lsh_near_dups_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    ivf = _ivf_oracle()
     return {
+        **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         "url_md5": """
             SELECT doc_id,
                    source || '/' || CAST(doc_id AS VARCHAR) AS url,

@@ -92,6 +92,26 @@ def with_lsh_bucket(
     return embeddings.withColumn("lsh_bucket", bucket(F.col(vec_col)))
 
 
+def kmeans_unit_centroids(
+    mat: np.ndarray, n_centroids: int = 16, n_iters: int = 5
+) -> np.ndarray:
+    """Seeded Lloyd k-means on unit-normalized rows — pure numpy so both the
+    Spark trainer and the SQL-oracle generator produce bit-identical
+    centroids from the same (sorted) sample matrix."""
+    mat = np.asarray(mat, dtype=np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(29)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     dim: int,
@@ -106,39 +126,34 @@ def train_ivf_centroids(
     The sample (``id % sample_mod == 0``) is collected to the driver — at
     100 TB you train on a bounded sample exactly like this (centroids are a
     (k, dim) matrix regardless of corpus size); assignment stays fully
-    distributed. Deterministic: seeded init from the sample itself, fixed
-    Lloyd iteration count, no RNG in the loop."""
-    sample = (
+    distributed. Deterministic: sample sorted by id (partition-order
+    independent), seeded init, fixed Lloyd iteration count, no RNG in the
+    loop."""
+    pdf = (
         embeddings.filter(F.col(id_col) % sample_mod == 0)
-        .select(vec_col)
-        .toPandas()[vec_col]
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
     )
-    mat = np.array(sample.tolist(), dtype=np.float64)
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    rng = np.random.RandomState(29)
-    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
-    for _ in range(n_iters):
-        assign = np.argmax(mat @ cent.T, axis=1)  # cosine on unit vectors
-        for c in range(len(cent)):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cent[c] = m / max(np.linalg.norm(m), 1e-12)
-    return cent
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    return kmeans_unit_centroids(mat, n_centroids, n_iters)
 
 
 def with_ivf_cell(
     embeddings: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
 ) -> DataFrame:
     """Assign every vector its nearest-centroid cell id (one matmul per
-    Arrow batch — the distributed half of the IVF index)."""
+    Arrow batch — the distributed half of the IVF index). Dots are rounded
+    to 6 decimals before the argmax so assignment is reproducible across
+    engines (summation-order float noise cannot flip a cell)."""
     cent = np.asarray(centroids, dtype=np.float64)
 
     @F.pandas_udf(T.IntegerType())
     def cell(vec: pd.Series) -> pd.Series:
         mat = np.array(vec.tolist(), dtype=np.float64)
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+        dots = np.round(mat @ cent.T, 6)
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
     return embeddings.withColumn("ivf_cell", cell(F.col(vec_col)))
 
