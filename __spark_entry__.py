@@ -12,11 +12,11 @@ Signature pipelines (MinHash, SimHash, hyperplane LSH, rolling fingerprint,
 language-ID) are deliberately defined over cross-engine primitives — md5
 token hashes matching DuckDB's md5_number_lower, uint64-wraparound combines
 replayed in HUGEINT, integer-quantized hyperplanes — so each carries a full
-DuckDB oracle (constants baked into generated SQL). Queries without an
-oracle entry (IVF ANN's iterative k-means, the multimodal decode stub, the
-crawl engine itself) are genuinely non-SQL-expressible; the driver records
-the weaker rows-only check for those by design, and pytest covers them with
-recall/golden assertions instead.
+DuckDB oracle (constants baked into generated SQL); even the IVF quantizer and the
+multimodal decode stub are deterministic enough to retrain/replay at
+oracle-generation time. Only the crawl-loop queries (driver-side iterative
+rounds) have no SQL oracle — the driver records the weaker rows-only check
+for those by design, and the pytest golden replay covers them.
 """
 
 from __future__ import annotations
