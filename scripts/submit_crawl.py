@@ -6,9 +6,12 @@ any cluster-side install:
 
     cd /root/repo && python -c "
     import shutil; shutil.make_archive('/tmp/upton_spark_pkg', 'zip', '.', 'upton_spark')"
-    /opt/spark/bin/spark-submit --master 'local[8]' \
+    /opt/spark/bin/spark-submit --master 'local[8]' --driver-memory 8g \
         --py-files /tmp/upton_spark_pkg.zip \
         scripts/submit_crawl.py --corpus <pages.parquet dir> --hosts 600 --ipp 100
+
+(--driver-memory sizes the single local JVM; on a cluster use executor
+sizing instead. html-heavy pages need it — see plans/session.py notes.)
 
 On a real cluster only --master (+ executor sizing) changes; the job itself
 is identical. Prints one JSON line with crawl stats.
@@ -38,7 +41,11 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.maxPartitionBytes", "6m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        # ~150KB html rows: the 4096-row default columnar batch is ~600MB
+        # per task in flight (see plans/session.py)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
     spark = builder.getOrCreate()
     if args.shuffle_partitions:
@@ -51,10 +58,18 @@ def main() -> None:
     seeds = synth_seeds(args.hosts, args.ipp)
     t0 = time.time()
     crawler = Crawler(
-        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True
+        spark, pages, seeds, expected_url_capacity=1 << 21, assume_unique_urls=True,
+        pages_path=args.corpus,
     )
     result = crawler.crawl()
-    n_extracted = result.extracted.count()
+    # force the extraction UDF (a bare count() would let Catalyst prune the
+    # text column and skip extraction entirely)
+    from pyspark.sql import functions as F
+
+    row = result.extracted.agg(
+        F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
+    ).collect()[0]
+    n_extracted = row["n"]
     n_frontier = result.frontier.count()
     dt = time.time() - t0
     print(
