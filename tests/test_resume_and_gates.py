@@ -200,6 +200,40 @@ def test_robots_gate_blocks_before_fetch(spark, pages):
     assert blocked_total == 1
 
 
+def test_retry_state_survives_kill_and_resume(spark, pages, tmp_path):
+    """attempts/status are part of the delta-committed round state: killing
+    a crawl mid-retry and resuming must converge to the same terminal
+    attempts, statuses, and extraction as an uninterrupted run."""
+    failures = spark.createDataFrame(
+        [(f"{BASE}/discussion.html", 2), (f"{BASE}/prosecutor.html", 99)],
+        "url string, fail_times int",
+    )
+
+    def mk(catalog=None):
+        return Crawler(
+            spark,
+            pages,
+            [basic_seed()],
+            fetch_failures=failures,
+            max_fetch_attempts=3,
+            catalog=catalog,
+            compact_every=2,
+        )
+
+    ref = mk().crawl()
+    ref_rows = {r["url"]: (r["status"], r["attempts"]) for r in ref.frontier.collect()}
+
+    cat = ManifestCatalog(spark, str(tmp_path / "cat_retry"))
+    with pytest.raises(KilledCrawl):
+        mk(cat).crawl(stop_after_round=1)  # killed with retries still queued
+    resumed = mk(cat).resume()
+    res_rows = {r["url"]: (r["status"], r["attempts"]) for r in resumed.frontier.collect()}
+    assert res_rows == ref_rows
+    assert res_rows[f"{BASE}/prosecutor.html"] == ("failed", 3)
+    assert res_rows[f"{BASE}/discussion.html"] == ("fetched", 2)
+    assert _texts(resumed) == _texts(ref)
+
+
 def test_fetched_at_and_readable_key(spark, pages):
     """fetched_at is stamped into the seen-set at mark-seen time (reference
     Time.now stash annotation, downloader.rb:100-116; pinned via clock for

@@ -989,6 +989,11 @@ class Crawler:
                     "failed": n_failed,
                     "urls_seen": self._seen_count,
                 }
+                # rounds_done == 0 forces a FULL commit at the start of
+                # every run_fetch_rounds invocation (main loop, each
+                # instance-pagination phase): deltas in the manifest are
+                # therefore always relative to a full table from the SAME
+                # invocation — phases can never mix delta round keys
                 if compact or rounds_done == 0:
                     self.catalog.commit(
                         round_no,
