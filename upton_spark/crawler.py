@@ -827,6 +827,7 @@ class Crawler:
         round. Returns (frontier, seen) with statuses resolved."""
         round_no = start_round
         rounds_done = 0
+        seen_layers = 0  # lazy union layers on `seen` since its last write
         while rounds_done < max_rounds:
             queued = frontier.filter(F.col("status") == "queued")
             # emptiness needs a driver check only on entry: later iterations
@@ -972,11 +973,14 @@ class Crawler:
             # broadcast-join/union layers over the last compacted parquet
             # and the catalog carries per-round deltas (politeness-bounded
             # size — never O(frontier)).
+            if seen_delta is not None:
+                seen_layers += 1
             compact = ending or (rounds_done + 1) % self.compact_every == 0
             if compact:
                 frontier = self._materialize(frontier, "frontier_round")
-                if seen_delta is not None and not ending:
+                if seen_layers and not ending:
                     seen = self._materialize(seen, "urls_seen")
+                    seen_layers = 0
             if self.catalog is not None:
                 metrics = {
                     "phase": phase,
