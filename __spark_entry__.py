@@ -554,8 +554,9 @@ def q_language_id(spark, sf_dir):
 
 
 def q_fingerprint_rolling(spark, sf_dir):
-    """Winnowing-style rolling fingerprint: min-md5 over 8-token windows,
-    pure codegen, with a windowed-md5 SQL oracle."""
+    """Winnowing-style rolling fingerprint: min over 8-token shingle hashes
+    (md5 token hashes, uint64 sliding combine), Arrow-batched numpy, with a
+    HUGEINT-replay SQL oracle."""
     from upton_spark.operators.textops import fingerprint
 
     return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
@@ -903,19 +904,36 @@ def _language_id_oracle() -> str:
 
 
 def _fingerprint_oracle() -> str:
-    return r"""
-        WITH t AS (
+    from upton_spark.operators.dedup_docs import _SHINGLE_C
+
+    cpl = _hugeint_list(pow(int(_SHINGLE_C), j, 1 << 64) for j in range(9))
+    return f"""
+        WITH c AS (SELECT {cpl} AS cp),
+        t AS (
           SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                      ELSE string_split_regex(trim(text), '\s+') END AS words
+                 CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
           FROM documents
+        ), th AS (
+          SELECT doc_id, list_transform(toks, w -> CAST(md5_number_lower(w) >> 2 AS HUGEINT)) AS h,
+                 len(toks) AS n
+          FROM t
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN n < 8 THEN
+              [ (8 * cp[n+1]
+                 + coalesce(list_sum(list_transform(range(0, n), j -> (h[j+1] * cp[n-j]) % {_T64})), 0)) % {_T64} ]
+            ELSE
+              list_transform(range(1, n - 6), i ->
+                coalesce(list_sum(list_transform(range(0, 8), j -> (h[i+j] * cp[j+1]) % {_T64})), 0) % {_T64})
+            END AS sh
+          FROM th, c
         )
         SELECT doc_id,
-               CASE WHEN len(words) >= 8
-                    THEN list_aggregate(list_transform(range(1, len(words) - 6),
-                         i -> md5(array_to_string(words[i:i+7], ' '))), 'min')
-                    ELSE md5(array_to_string(words, ' ')) END AS fingerprint
-        FROM t
+               CAST(CASE WHEN list_aggregate(sh, 'min') >= CAST('9223372036854775808' AS HUGEINT)
+                         THEN list_aggregate(sh, 'min') - {_T64}
+                         ELSE list_aggregate(sh, 'min') END AS BIGINT) AS fingerprint
+        FROM sh
     """
 
 
