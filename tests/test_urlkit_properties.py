@@ -95,3 +95,40 @@ def test_slug_has_no_separator_query_or_html_tail(url):
     s = urlkit.slug(url)
     assert "/" not in s and "?" not in s
     assert ".html" not in s
+
+
+# ---- approximate-membership filters: the invariant the crawl relies on ----
+# (a false positive costs one anti-join probe; a false NEGATIVE would refetch
+# a seen URL and break the ordering/seen-set contract — it must be impossible)
+
+_HASH64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_HASH32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@given(st.lists(st.tuples(_HASH64, _HASH32), max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_bloom_never_false_negative(pairs):
+    import numpy as np
+
+    from upton_spark.operators.dedup import BloomFilter
+
+    bf = BloomFilter.sized_for(max(1, len(pairs)), 1e-3)
+    if pairs:
+        h64 = np.array([p[0] for p in pairs], dtype=np.int64)
+        h32 = np.array([p[1] for p in pairs], dtype=np.int32)
+        bf.add_hashes(h64, h32)
+        assert bf.contains_hashes(h64, h32).all()
+
+
+@given(st.lists(_HASH64, max_size=200, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_cuckoo_contains_all_inserted_and_forgets_deleted(hashes):
+    from upton_spark.operators.dedup import CuckooFilter
+
+    cf = CuckooFilter.sized_for(max(16, len(hashes) * 2))
+    inserted = [h for h in hashes if cf.add(h)]
+    assert inserted == hashes  # sized for 2x: inserts must not fail
+    for h in inserted:
+        assert cf.contains(h)
+    for h in inserted[: len(inserted) // 2]:
+        assert cf.delete(h)
