@@ -19,47 +19,64 @@ Reference semantics under test: Nokogiri ``.text``/``[]`` behavior per
 
 from __future__ import annotations
 
+import html.parser as _hp
 import re
 from html import unescape
 
-# Tag-open events. Attribute blob: anything up to the closing '>' that is
-# not a naked '>', with quoted sections allowed to contain '>'.
+# Non-start-tag events (comments, declarations, PIs, end tags, bogus end
+# tags). Start tags are scanned with html.parser's OWN compiled tolerant
+# regexes below, so tag extents, attribute values, junk recovery, and
+# incomplete-tag buffering are stdlib-identical by construction (the
+# hypothesis equivalence fuzzer in tests/test_fast_html.py holds the line).
 _EVENT_RE = re.compile(
     r"""<(?:
         !--(?P<comment>.*?)--\s*>
       | (?P<decl>![^>]*)>
       | \?(?P<pi>[^>]*)>
-      | /\s*(?P<end>[a-zA-Z][^\s>]*)\s*>
-      | (?P<start>[a-zA-Z][^\s/>]*)(?P<attrs>(?:"[^"]*"|'[^']*'|[^>])*?)(?P<selfclose>/?)>
     )""",
     re.S | re.X,
 )
 
-_ATTR_RE = re.compile(
-    r"""([^\s/>=]+)(?:\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*)))?"""
-)
+# strict end tag (CPython endtagfind); failures fall back to
+# tagfind_tolerant + skip-to-'>' / bogus comment, exactly like parse_endtag
+_ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+# stdlib html.parser's start-tag machinery (CPython parse_starttag /
+# check_for_whole_start_tag semantics, driven by the same module regexes)
+_LOCATE_START = _hp.locatestarttagend_tolerant
+_TAGFIND = _hp.tagfind_tolerant
+_ATTRFIND = _hp.attrfind_tolerant
+_NEXT_OK = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 # html.parser CDATA_CONTENT_ELEMENTS: bodies are raw text (no entity
 # decoding, no tag recognition) until the matching close tag.
 _RAW_TEXT = ("script", "style")
 
 
-def _parse_attrs(blob: str) -> list[tuple[str, str | None]]:
-    out = []
-    for m in _ATTR_RE.finditer(blob):
-        name = m.group(1).lower()
-        if m.group(2) is not None:
-            value: str | None = m.group(2)
-        elif m.group(3) is not None:
-            value = m.group(3)
-        elif m.group(4):
-            value = m.group(4)
-        else:
-            value = None
-        if value is not None and "&" in value:
-            value = unescape(value)
-        out.append((name, value))
-    return out
+def _parse_attrs(
+    text: str, k: int, j: int, keep: bool
+) -> tuple[list[tuple[str, str | None]], int]:
+    """CPython parse_starttag's attr loop verbatim over text[k:j]:
+    attrfind_tolerant per attribute, quoted values stripped, '=' with empty
+    unquoted value is '', bare names are None, entities unescaped. Returns
+    (attrs, k): ``k`` is where the loop stopped — the startend/junk decision
+    needs it even when ``keep`` is False (attrs not wanted)."""
+    attrs: list[tuple[str, str | None]] = []
+    while k < j:
+        m = _ATTRFIND.match(text, k)
+        if not m:
+            break
+        if keep:
+            attrname, rest, attrvalue = m.group(1, 2, 3)
+            if not rest:
+                attrvalue = None
+            elif attrvalue[:1] == "'" == attrvalue[-1:] or attrvalue[:1] == '"' == attrvalue[-1:]:
+                attrvalue = attrvalue[1:-1]
+            if attrvalue and "&" in attrvalue:
+                attrvalue = unescape(attrvalue)
+            attrs.append((attrname.lower(), attrvalue))
+        k = m.end()
+    return attrs, k
 
 
 def feed_events(builder, text: str) -> None:
@@ -86,42 +103,102 @@ def feed_events(builder, text: str) -> None:
         if lt > pos and (wants_data is None or wants_data()):
             data = text[pos:lt]
             builder.handle_data(unescape(data) if "&" in data else data)
-        m = _EVENT_RE.match(text, lt)
-        if m is None:
-            # stray '<' that opens no markup: literal text (html.parser
-            # emits it with following chars; '.text' only concatenates, so
-            # chunking differences are invisible)
-            builder.handle_data("<")
+        c = text[lt + 1 : lt + 2]
+        if c == "/":
+            # end tag: CPython parse_endtag's exact cascade. With no '>'
+            # anywhere after, parse_endtag reports incomplete and goahead's
+            # recovery turns the rest into text.
+            if find(">", lt + 1) < 0:
+                if wants_data is None or wants_data():
+                    builder.handle_data("<")
+                pos = lt + 1
+                continue
+            m2 = _ENDTAG_STRICT.match(text, lt)
+            if m2:
+                builder.handle_endtag(m2.group(1).lower())
+                pos = m2.end()
+                continue
+            if text.startswith("</>", lt):
+                pos = lt + 3
+                continue
+            nm = _TAGFIND.match(text, lt + 2)
+            if nm:
+                # junk between the name and '>' is consumed and ignored
+                gt = find(">", nm.end())
+                builder.handle_endtag(nm.group(1).lower())
+                pos = n if gt < 0 else gt + 1
+                continue
+            # bogus comment: dropped through the next '>'
+            gt = find(">", lt + 2)
+            if gt >= 0:
+                pos = gt + 1
+                continue
+            # incomplete bogus comment at EOF: goahead recovery ('<' as
+            # data, remainder re-enters as plain text)
+            if wants_data is None or wants_data():
+                builder.handle_data("<")
             pos = lt + 1
             continue
-        pos = m.end()
-        start, attr_blob, selfclose, end = m.group("start", "attrs", "selfclose", "end")
-        if start is not None:
-            tag = start.lower()
-            if selfclose and attr_blob and not attr_blob[-1].isspace() and attr_blob[-1] not in "\"'":
-                # HTML5: '/' inside an UNQUOTED attribute value is part of the
-                # value, not a self-close marker ('<a href=http://x/>' has
-                # href 'http://x/'). Only when the last attr match of
-                # blob+'/' consumes the slash as an unquoted value does the
-                # slash belong to the value (matches stdlib html.parser and
-                # Nokogiri). '<br foo/>' stays self-closing: a bare name
-                # cannot absorb '/'.
-                ext = attr_blob + "/"
-                last_m = None
-                for last_m in _ATTR_RE.finditer(ext):
-                    pass
-                if last_m is not None and last_m.end() == len(ext) and last_m.group(4):
-                    attr_blob = ext
-                    selfclose = ""
-            if (
-                attr_blob
-                and not attr_blob.isspace()
-                and (wants_attrs is None or wants_attrs(tag))
-            ):
-                attrs = _parse_attrs(attr_blob)
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            # start tag: stdlib-identical scan (CPython parse_starttag +
+            # check_for_whole_start_tag, using html.parser's own regexes)
+            j = _LOCATE_START.match(text, lt).end()
+            nxt = text[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+                startend = False
+            elif nxt == "/" and text.startswith("/>", j):
+                endpos = j + 2
+                startend = True
+            elif nxt == "" or nxt in _NEXT_OK or nxt == "/":
+                # stdlib cannot complete the tag here (-1 from
+                # check_for_whole_start_tag); its close()-time recovery
+                # emits RAW character data through the next '>' (else to
+                # the next '<', else to EOF) and resumes parsing after it
+                k2 = find(">", lt + 1)
+                if k2 >= 0:
+                    k2 += 1
+                else:
+                    k2 = find("<", lt + 1)
+                    if k2 < 0:
+                        # nothing tag-like left: '<' as raw data, the rest
+                        # re-enters the loop as plain text (which unescapes)
+                        if wants_data is None or wants_data():
+                            builder.handle_data("<")
+                        pos = lt + 1
+                        continue
+                if wants_data is None or wants_data():
+                    # unlike parse_starttag's junk branches (raw), goahead's
+                    # recovery unescapes under convert_charrefs
+                    d = text[lt:k2]
+                    builder.handle_data(unescape(d) if "&" in d else d)
+                pos = k2
+                continue
             else:
-                attrs = []
-            if selfclose:
+                # junk where the tag should end: stdlib emits the scanned
+                # span as RAW data and resumes after it
+                if wants_data is None or wants_data():
+                    builder.handle_data(text[lt:j])
+                pos = j if j > lt else lt + 1
+                continue
+            tm = _TAGFIND.match(text, lt + 1)
+            tag = tm.group(1).lower()
+            attrs, ak = _parse_attrs(
+                text, tm.end(), j, wants_attrs is None or wants_attrs(tag)
+            )
+            leftover = text[ak:endpos].strip()
+            if leftover == "/>":
+                startend = True
+            elif leftover != ">":
+                # junk between attributes and the tag end (e.g. commas after
+                # values): stdlib's parse_starttag error branch emits the
+                # whole span as RAW data and resumes after it
+                if wants_data is None or wants_data():
+                    builder.handle_data(text[lt:endpos])
+                pos = endpos
+                continue
+            pos = endpos
+            if startend:
                 builder.handle_startendtag(tag, attrs)
             else:
                 builder.handle_starttag(tag, attrs)
@@ -140,7 +217,14 @@ def feed_events(builder, text: str) -> None:
                     pos = n if gt < 0 else gt + 1
                     builder.handle_endtag(tag)
             continue
-        if end is not None:
-            builder.handle_endtag(end.lower())
+        m = _EVENT_RE.match(text, lt)
+        if m is None:
+            # stray '<' that opens no markup: literal text (html.parser
+            # emits it with following chars; '.text' only concatenates, so
+            # chunking differences are invisible)
+            builder.handle_data("<")
+            pos = lt + 1
+            continue
+        pos = m.end()
         # comments / declarations / processing instructions: dropped, same
         # as the stdlib builder (no .text contribution)
