@@ -90,3 +90,38 @@ def test_quirks_stream_equivalent():
 
     for html in QUIRKS:
         _check(html)
+
+
+def test_fuzzed_sax_equivalent_to_dom():
+    """Hypothesis fuzzer: the streaming matcher's wants_data/wants_attrs
+    gating must not change results on adversarial markup — per-node texts
+    and hrefs identical to the DOM engine (20k examples during development,
+    400 per run here)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    frag = st.one_of(
+        st.text(alphabet="<>&\"'/==, abpdiv13&amp;!?-\n\t", max_size=12),
+        st.sampled_from([
+            "<a href=", "<a href='x'>", "</a>", "<div>", "</div>", "<p>", "<br/>",
+            "<a href=http://x.com/>", "text", "&amp;", "<!--c-->", "<b",
+            "<script>x<y</script>", "='v'", "\"q\"", "<a href=a/b/>",
+            "</ a>", "</3>", "</a b>", "</>", "<a href= 'y'>", "<a href=\"",
+            "==", "<b/>", "<a b=1, c=2>", "</a/>", "</b",
+        ]),
+    )
+    html_strategy = st.lists(frag, max_size=20).map("".join)
+
+    @given(html_strategy)
+    @settings(max_examples=400, deadline=None)
+    def check(html):
+        for sel in ("a", "div p", "a[href]"):
+            nodes = search(parse_html(html, engine="fast"), sel)
+            got = stream_texts(html, sel)
+            if got is not None:
+                assert got == [text_of(n) for n in nodes], (repr(html), sel)
+            goth = stream_hrefs(html, sel)
+            if goth is not None:
+                assert goth == [n.get("href") for n in nodes], (repr(html), sel)
+
+    check()
