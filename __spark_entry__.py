@@ -14,9 +14,16 @@ token hashes matching DuckDB's md5_number_lower, uint64-wraparound combines
 replayed in HUGEINT, integer-quantized hyperplanes — so each carries a full
 DuckDB oracle (constants baked into generated SQL); even the IVF quantizer and the
 multimodal decode stub are deterministic enough to retrain/replay at
-oracle-generation time. Only the crawl-loop queries (driver-side iterative
-rounds) have no SQL oracle — the driver records the weaker rows-only check
-for those by design, and the pytest golden replay covers them.
+oracle-generation time. The crawl-loop queries (driver-side iterative
+rounds) are not SQL-expressible as *computations*, but their *expected
+outputs* are fixed constants pinned by the reference RSpec goldens
+(/root/reference/spec/upton_spec.rb:14-40,139-171) plus the engine's
+documented retry/robots/politeness lineage semantics — so each carries a
+literal ``VALUES`` oracle (typed, ordered), giving every query the full
+rows+schema+hash check. The same constants are independently asserted by
+the pytest golden replay (tests/test_crawl_goldens.py,
+tests/test_resume_and_gates.py), which is what actually *derives* them
+from the reference fixtures.
 """
 
 from __future__ import annotations
@@ -351,17 +358,21 @@ def q_product_type_profit(spark, sf_dir):
 
 
 def q_hot_hosts_topk(spark, sf_dir):
-    """Top-k hot hosts by doc count (the skew monitor of SURVEY.md §2.5)."""
+    """Top-k hot hosts by doc count (the skew monitor of SURVEY.md §2.5).
+
+    orderBy().limit(k) plans as TakeOrderedAndProject — per-partition top-k
+    then a k-row driver merge — so no single task ever holds the full host
+    histogram (a global row_number window would: one partition-less sort of
+    every host). The rank column is re-derived on the k surviving rows."""
     docs = _t(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    w = Window.orderBy(F.col("n_docs").desc(), F.col("source"))
-    return (
-        counts.withColumn("host_rank", F.row_number().over(w).cast("long"))
-        .filter("host_rank <= 5")
-        .select("host_rank", "source", "n_docs", "total_chars")
+    top = counts.orderBy(F.col("n_docs").desc(), F.col("source")).limit(5)
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("source"))  # 5 rows only
+    return top.withColumn("host_rank", F.row_number().over(w).cast("long")).select(
+        "host_rank", "source", "n_docs", "total_chars"
     )
 
 
@@ -1026,6 +1037,112 @@ def _ivf_oracle() -> str | None:
     """
 
 
+def _values_oracle(cols: list[tuple[str, str]], rows: list[tuple], order_by: str) -> str:
+    """Literal-golden oracle: SELECT typed columns FROM (VALUES …).
+
+    Used for the crawl-loop queries, whose outputs are constants fixed by
+    the reference RSpec goldens — the crawl itself is iterative driver
+    logic, but its contract output is a small, fully-determined table."""
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    names = ", ".join(n for n, _ in cols)
+    casts = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    values = ",\n            ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return (
+        f"SELECT {casts} FROM (VALUES\n            {values}\n"
+        f"        ) AS t({names}) ORDER BY {order_by}"
+    )
+
+
+# Crawl-loop literal goldens. Sources of truth:
+# - headlines / crawl order: reference spec/upton_spec.rb:14-19,54-67 (the
+#   'scrapes a basic list of stories' golden over the propublica fixture;
+#   discussion.html has no h1.article-title -> '').
+# - paginated search: spec/upton_spec.rb:139-171 (?p=1,2 bodies, empty p=3
+#   terminates the chain).
+# - retry: engine-bounded retry semantics (SURVEY.md §4; reference retries
+#   timeouts forever, downloader.rb:63-65, and maps errors to '' bodies,
+#   downloader.rb:50-68): discussion fails once then fetches (attempts=1);
+#   prosecutor fails past max_fetch_attempts=3 -> terminal 'failed'.
+# - robots gate: north_star admission rule — /prosecutor.html disallowed ->
+#   status 'blocked', never fetched.
+# - politeness lineage: 1 token/host/round (sleep=30, budget=30) spreads the
+#   4 same-host instance fetches over 4 rounds, deferring 3,2,1,0; the index
+#   fetch is its own round-0 row; urls_seen is cumulative at round commit.
+_CRAWL_URLS = {
+    "webinar": "http://www.example.com/webinar.html",
+    "discussion": "http://www.example.com/discussion.html",
+    "prosecutor": "http://www.example.com/prosecutor.html",
+    "sixfacts": "http://www.example.com/sixfacts.html",
+}
+_HEADLINES = [
+    "Webinar: How to Use Prescriber Checkup to Power Your Reporting",
+    "",
+    "A Prosecutor, a Wrongful Conviction and a Question of Justice",
+    "Six Facts Lost in the IRS Scandal",
+]
+
+
+def _crawl_oracles() -> dict[str, str]:
+    u = _CRAWL_URLS
+    order = ["webinar", "discussion", "prosecutor", "sixfacts"]
+    return {
+        "crawl_fixture_headlines": _values_oracle(
+            [("url", "VARCHAR"), ("instance_index", "BIGINT"),
+             ("pagination_index", "INTEGER"), ("text", "VARCHAR")],
+            [(u[k], i, 0, _HEADLINES[i]) for i, k in enumerate(order)],
+            "instance_index",
+        ),
+        "crawl_paginated_search": _values_oracle(
+            [("url", "VARCHAR"), ("instance_index", "BIGINT"), ("text", "VARCHAR")],
+            [
+                (u["webinar"], 0, _HEADLINES[0]),
+                (u["prosecutor"], 1, _HEADLINES[2]),
+                (u["sixfacts"], 2, _HEADLINES[3]),
+            ],
+            "instance_index",
+        ),
+        "crawl_retry": _values_oracle(
+            [("url", "VARCHAR"), ("status", "VARCHAR"), ("attempts", "INTEGER")],
+            [
+                (u["discussion"], "fetched", 1),
+                (u["prosecutor"], "failed", 3),
+                (u["sixfacts"], "fetched", 0),
+                (u["webinar"], "fetched", 0),
+            ],
+            "url",
+        ),
+        "crawl_robots_gate": _values_oracle(
+            [("url", "VARCHAR"), ("status", "VARCHAR")],
+            [
+                (u["discussion"], "fetched"),
+                (u["prosecutor"], "blocked"),
+                (u["sixfacts"], "fetched"),
+                (u["webinar"], "fetched"),
+            ],
+            "url",
+        ),
+        "crawl_lineage_politeness": _values_oracle(
+            [("phase", "VARCHAR"), ("round", "INTEGER"), ("fetched", "BIGINT"),
+             ("deferred", "BIGINT"), ("urls_seen", "BIGINT")],
+            [
+                ("index", 0, 1, 0, 0),
+                ("instance", 0, 1, 3, 1),
+                ("instance", 1, 1, 2, 2),
+                ("instance", 2, 1, 1, 3),
+                ("instance", 3, 1, 0, 4),
+            ],
+            "phase, round",
+        ),
+    }
+
+
 def _lsh_buckets_oracle() -> str:
     return (
         _lsh_bucket_cte(8)
@@ -1049,6 +1166,7 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
+        **_crawl_oracles(),
         "url_md5": """
             SELECT doc_id,
                    source || '/' || CAST(doc_id AS VARCHAR) AS url,

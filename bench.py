@@ -79,7 +79,7 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
 
 
 def run_politeness_bench(spark, pages, corpus_path: str) -> dict:
-    """Multi-round politeness crawl over a 24-host slice: 1-token-budgeted
+    """Multi-round politeness crawl over a 12-host slice: 1-token-budgeted
     rounds exercise the delta-commit loop (sequential index chains + several
     deferral rounds), measuring per-round driver overhead rather than bulk
     extraction throughput."""

@@ -169,3 +169,23 @@ def test_list_helper_equivalent(monkeypatch):
     monkeypatch.setenv("UPTON_SPARK_HTML_ENGINE", "stdlib")
     std = extract_list(html, sel)
     assert fast == std and len(fast) > 0
+
+
+def test_vendored_start_tag_regexes_match_stdlib():
+    """The scanner prefers html.parser's own tolerant regexes (stdlib-
+    identical semantics by construction) and carries vendored copies as an
+    import-safe fallback. On interpreters where the internals exist, the
+    vendored patterns must be byte-identical — loud drift detection for a
+    future CPython change."""
+    import html.parser as hp
+
+    from upton_spark.html import fast
+
+    for vendored, name in [
+        (fast._VENDORED_LOCATE_START, "locatestarttagend_tolerant"),
+        (fast._VENDORED_TAGFIND, "tagfind_tolerant"),
+        (fast._VENDORED_ATTRFIND, "attrfind_tolerant"),
+    ]:
+        stdlib_rx = getattr(hp, name, None)
+        if stdlib_rx is not None:
+            assert vendored.pattern == stdlib_rx.pattern, name

@@ -89,6 +89,13 @@ Disallow: /only-for-us/
     def test_no_rules_allows(self):
         assert allowed("/anything", [])
 
+    def test_end_anchor_is_fullmatch_not_dollar(self):
+        # '$' matches before a trailing newline; REP end-anchor means true
+        # end-of-path, so a path ending in '\n' must NOT satisfy the rule
+        rules = [("disallow", "/foo$")]
+        assert not allowed("/foo", rules)
+        assert allowed("/foo\n", rules)
+
     def test_rep_literal_question_mark_and_brackets(self):
         # REP's only wildcard is '*'; '?' and '[' are literal path chars —
         # an fnmatch-style translation would treat them as metacharacters.

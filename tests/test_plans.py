@@ -159,6 +159,44 @@ def test_status_merge_broadcasts_delta_not_frontier(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_hot_hosts_topk_uses_take_ordered(spark, sf_dir):
+    """Top-k hot hosts must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row driver merge), never a partition-less row_number window
+    sorting the full host histogram in one task."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_hot_hosts_topk(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pruned_pages_requires_raw_scan(spark, tmp_path):
+    """File-level prune re-reads matched files raw, so it must refuse to run
+    when ``pages`` is not the unmodified scan of ``pages_path`` (a filtered/
+    projected pages would otherwise silently see excluded rows) — and the
+    fallback (unpruned join) must respect the caller's transformation."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import fixture_pages
+
+    path = str(tmp_path / "pages")
+    fixture_pages(spark).write.parquet(path)
+    raw = spark.read.parquet(path)
+    seeds = [SeedSpec(0, url_list=["http://www.example.com/webinar.html"],
+                      extract_selector="h1", extract_kind="text",
+                      sleep_time_between_requests=0.0)]
+    keys = spark.createDataFrame(
+        [("http://www.example.com/webinar.html",)], "url string"
+    )
+
+    ok = Crawler(spark, raw, seeds, pages_path=path)
+    assert ok._pruned_pages(keys, "url") is not None
+
+    filtered = Crawler(
+        spark, raw.filter(F.col("url") != "http://www.example.com/webinar.html"),
+        seeds, pages_path=path,
+    )
+    assert filtered._pruned_pages(keys, "url") is None
+
+
 def test_codegen_covers_quality_stats(spark, sf_dir):
     """Quality features must stay in whole-stage codegen (no Python eval)."""
     from upton_spark.operators.textops import with_quality_stats

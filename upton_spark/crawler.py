@@ -218,9 +218,13 @@ class Crawler:
         # loses Python-worker reuse (~40s per call vs ~1s for this).
         self._scratch = tempfile.mkdtemp(prefix="upton_spark_state_")
         self._scratch_n = 0
-        # Long-lived services would otherwise leak one scratch dir per
-        # crawler; results read lazily from these files, so removal is
-        # deferred to close() (explicit) or process exit.
+        # CrawlResult DataFrames read lazily from scratch parquet, so the
+        # crawler must stay alive (and the dir on disk) until close() or
+        # process exit — atexit's strong reference is deliberate: it keeps
+        # `Crawler(...).crawl()` results valid (a weakref finalizer would
+        # delete the dir at GC, under the live results). close() unregisters,
+        # so long-lived services that close crawlers don't accumulate
+        # registrations or leak closed instances.
         atexit.register(self.close)
         self.spark = spark
         self.pages = pages
@@ -231,6 +235,7 @@ class Crawler:
         # Iceberg metadata pruning. Without it the index join decompresses
         # the whole corpus html column to fetch a few thousand index pages.
         self.pages_path = pages_path
+        self._pages_raw_scan_ok: bool | None = None
         self.seeds = seeds
         self.index_cached = index_cached
         self.instance_cached = instance_cached
@@ -275,8 +280,9 @@ class Crawler:
     def close(self) -> None:
         """Remove this crawler's scratch state. Call once the CrawlResult
         DataFrames are no longer needed — they read lazily from scratch
-        parquet, so closing earlier invalidates them. Registered with atexit
-        as a backstop; safe to call twice."""
+        parquet, so closing earlier invalidates them. Unregisters the atexit
+        backstop so closed crawlers are collectable; safe to call twice."""
+        atexit.unregister(self.close)
         shutil.rmtree(self._scratch, ignore_errors=True)
 
     def _materialize(self, df: DataFrame, label: str) -> DataFrame:
@@ -290,6 +296,19 @@ class Crawler:
         path = os.path.join(self._scratch, f"{self._scratch_n:04d}_{label}")
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
+
+    def _pages_is_raw_scan(self) -> bool:
+        """Contract check for file-level pruning: ``pages`` must be the
+        unmodified scan of ``pages_path`` (sameSemantics vs a fresh read —
+        catches filters, projections, unions; memoized once per crawler)."""
+        if self._pages_raw_scan_ok is None:
+            try:
+                self._pages_raw_scan_ok = self.pages.sameSemantics(
+                    self.spark.read.parquet(self.pages_path)
+                )
+            except Exception:
+                self._pages_raw_scan_ok = False
+        return self._pages_raw_scan_ok
 
     def pages_latest(self) -> DataFrame:
         """Latest capture per URL (dedup-latest on warc_ts — the as-of rule
@@ -315,8 +334,14 @@ class Crawler:
         Correct under dedup-latest — every capture of a matched url lives in
         a kept file, so the per-url latest window over the pruned subset
         equals the global one. Returns None when unavailable (no
-        pages_path) or not worthwhile (candidates touch most files)."""
+        pages_path), not worthwhile (candidates touch most files), or when
+        ``pages`` is not the raw scan of ``pages_path`` — the pruned probe
+        re-reads matched files directly, which would silently bypass any
+        filter/projection a caller applied to ``pages``, so a transformed
+        ``pages`` falls back to the (always-correct) unpruned join."""
         if self.pages_path is None or not self.broadcast_frontier:
+            return None
+        if not self._pages_is_raw_scan():
             return None
         files = [
             r["_f"]

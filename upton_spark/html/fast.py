@@ -42,10 +42,37 @@ _EVENT_RE = re.compile(
 _ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 
 # stdlib html.parser's start-tag machinery (CPython parse_starttag /
-# check_for_whole_start_tag semantics, driven by the same module regexes)
-_LOCATE_START = _hp.locatestarttagend_tolerant
-_TAGFIND = _hp.tagfind_tolerant
-_ATTRFIND = _hp.attrfind_tolerant
+# check_for_whole_start_tag semantics, driven by the same module regexes).
+# These module-level regexes are undocumented internals — guard with getattr
+# and fall back to vendored copies (verbatim from the public CPython 3.11
+# html/parser.py source) so a future rename can't break import, and the
+# fuzzers in tests/test_fast_html.py still hold the equivalence line.
+_VENDORED_LOCATE_START = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+_VENDORED_TAGFIND = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*")
+_VENDORED_ATTRFIND = re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+    r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*'
+)
+_LOCATE_START = getattr(_hp, "locatestarttagend_tolerant", _VENDORED_LOCATE_START)
+_TAGFIND = getattr(_hp, "tagfind_tolerant", _VENDORED_TAGFIND)
+_ATTRFIND = getattr(_hp, "attrfind_tolerant", _VENDORED_ATTRFIND)
 _NEXT_OK = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
 # html.parser CDATA_CONTENT_ELEMENTS: bodies are raw text (no entity

@@ -77,7 +77,9 @@ def _rule_regex(pattern: str) -> "re.Pattern[str]":
         if anchored:
             pat = pat[:-1]
         body = ".*".join(re.escape(seg) for seg in pat.split("*"))
-        rx = re.compile(body + ("$" if anchored else ""))
+        # \Z, not $: '$' also matches before a trailing newline, so a path
+        # ending in '\n' would wrongly satisfy an end-anchored Disallow rule
+        rx = re.compile(body + (r"\Z" if anchored else ""))
         _RULE_RE_CACHE[pattern] = rx
     return rx
 
