@@ -78,17 +78,20 @@ def run_crawl_bench(spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path:
     }
 
 
-def run_politeness_bench(spark, pages, corpus_path: str) -> dict:
-    """Multi-round politeness crawl over a 12-host slice: 1-token-budgeted
-    rounds exercise the delta-commit loop (sequential index chains + several
-    deferral rounds), measuring per-round driver overhead rather than bulk
-    extraction throughput."""
+def run_politeness_bench(spark, pages, corpus_path: str, sleep_time: float = 2.5) -> dict:
+    """Multi-round politeness crawl over a 12-host slice: token-budgeted
+    rounds exercise the round loop (sequential index chains + the one-shot
+    instance schedule), measuring per-round driver overhead rather than bulk
+    extraction throughput. ``sleep_time`` sets rounds: 2.5 → ~6 rounds (the
+    round-2 comparable), 30 → ~30 rounds (the marginal-cost probe: with the
+    closed-form instance schedule, extra politeness rounds cost ~no extra
+    driver jobs, so rounds/s should RISE with round count)."""
     from pyspark.sql import functions as F
 
     from upton_spark.crawler import Crawler
     from upton_spark.sources.corpus import synth_seeds
 
-    seeds = synth_seeds(600, 100, sleep_time=2.5)[300:312]
+    seeds = synth_seeds(600, 100, sleep_time=sleep_time)[300:312]
     t0 = time.time()
     crawler = Crawler(
         spark, pages, seeds, assume_unique_urls=True, pages_path=corpus_path
@@ -162,6 +165,12 @@ def main() -> None:
     timings["politeness_rounds_crawl"] = politeness_stats["seconds"]
     total += politeness_stats["seconds"]
 
+    politeness_deep = run_politeness_bench(
+        spark, spark.read.parquet(corpus_path), corpus_path, sleep_time=30.0
+    )
+    timings["politeness_rounds_deep"] = politeness_deep["seconds"]
+    total += politeness_deep["seconds"]
+
     for name in HEADLINE_QUERIES:
         fn = queries[name]
         t0 = time.time()
@@ -183,6 +192,7 @@ def main() -> None:
                 "cpus": cpus,
                 "frontier": frontier_stats,
                 "politeness_rounds": politeness_stats,
+                "politeness_rounds_deep": politeness_deep,
             }
         )
     )

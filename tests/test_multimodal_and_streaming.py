@@ -36,12 +36,71 @@ class TestMultimodal:
             assert n == (durations[aid] - 1) // 1000 + 1
 
     def test_decoder_stub_gate(self, spark, monkeypatch):
-        if multimodal.decoder_available():
-            pytest.skip("real decoder present")
-        media = multimodal.synth_media(spark, 2)
+        if multimodal.decoder_available("wav"):
+            pytest.skip("real decoder present for every format")
+        # synth media mixes png/wav/mp4; only png has a vendored decoder, so
+        # requiring real decode must fail eagerly naming the gap
+        media = multimodal.synth_media(spark, 3)
         monkeypatch.setenv("UPTON_SPARK_REQUIRE_DECODER", "1")
         with pytest.raises(NotImplementedError):
             multimodal.decode_and_featurize(media)
+
+    def test_real_png_decode_end_to_end(self, spark):
+        """decoder_available()==True branch on real bytes: grayscale PNGs
+        written by the vendored encoder flow through decode_and_featurize
+        with decoder='real', and the features match the source pixels."""
+        import numpy as np
+
+        from upton_spark.operators.png_codec import encode_png
+
+        rng = np.random.default_rng(11)
+        rows, want = [], {}
+        for i in range(6):
+            px = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+            want[i] = float(px.mean() / 255.0)
+            rows.append(
+                (i, f"http://media.example.org/image/{i}", encode_png(px),
+                 ("image", "png", 8, 8, None))
+            )
+        media = spark.createDataFrame(rows, schema=multimodal.MEDIA)
+        feats = {
+            r["asset_id"]: r
+            for r in multimodal.decode_and_featurize(
+                media, resize_to=(8, 8), decoder="real"
+            ).collect()
+        }
+        assert len(feats) == 6
+        for i, m in want.items():
+            assert abs(feats[i]["mean_intensity"] - m) < 1e-6
+            assert len(feats[i]["feature"]) == 64
+
+    def test_fake_decode_batch_matches_scalar(self):
+        """The vectorized batch kernel must be bit-identical per asset to
+        the reference scalar xorshift64* chain (the SQL oracle replays these
+        exact values, so any drift breaks multimodal_features)."""
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def scalar(payload, hw):
+            h, w = hw
+            digest = hashlib.md5((payload or b"").hex().encode()).digest()
+            x = np.uint64(struct.unpack("<Q", digest[8:16])[0] or 1)
+            out = np.empty(h * w, dtype=np.uint64)
+            for i in range(h * w):
+                x ^= x >> np.uint64(12)
+                x ^= (x << np.uint64(25)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+                x ^= x >> np.uint64(27)
+                out[i] = x
+            return (out / np.float64(2**64)).reshape(h, w)
+
+        payloads = [b"abc", b"", b"\x00\xff" * 20]
+        batch = multimodal._fake_decode_batch(payloads, (4, 4))
+        for i, p in enumerate(payloads):
+            assert (batch[i] == scalar(p, (4, 4))).all()
+        assert batch.shape == (3, 4, 4)
+        assert ((batch >= 0) & (batch < 1)).all()
 
 
 class TestStreaming:
@@ -117,3 +176,96 @@ class TestStreaming:
         # bookkeeping lost
         assert len(admitted) >= 3
         assert all(r["host"] == "www.example.com" for r in rows)
+
+
+def test_token_bucket_fn_matches_admit_per_host(spark):
+    """The streaming token bucket (vectorized batch kernel) must produce the
+    same admit/defer split as the batch admission operator on identically
+    ordered input, and honor refill + carryover-cap across triggers."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.politeness import admit_per_host
+    from upton_spark.streaming.stream import _token_bucket_fn
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    urls = [f"http://h.example/{i:02d}" for i in range(7)]
+    fn = _token_bucket_fn(3)
+    state = FakeState()
+    # trigger 1: urls split across two Arrow batches
+    out = pd.concat(
+        list(fn(("h.example",), [pd.DataFrame({"url": urls[:4]}), pd.DataFrame({"url": urls[4:]})], state))
+    )
+    stream_admitted = set(out[out["admitted"]]["url"])
+
+    batch = spark.createDataFrame(
+        [("h.example", u, 3) for u in urls], "host string, url string, host_tokens long"
+    )
+    got = admit_per_host(batch, order_cols=("url",)).collect()
+    batch_admitted = {r["url"] for r in got if r["admitted"]}
+    assert stream_admitted == batch_admitted == set(urls[:3])
+    assert list(out["url"]) == urls  # ordering preserved across batches
+
+    # trigger 2: refill admits 3 more; carryover was capped, not hoarded
+    out2 = pd.concat(list(fn(("h.example",), [pd.DataFrame({"url": urls})], state)))
+    assert list(out2[out2["admitted"]]["url"]) == urls[:3]
+
+
+def test_catalog_contract_shared(spark, tmp_path, monkeypatch):
+    """ManifestCatalog and IcebergCatalog satisfy one commit/latest/load
+    contract: Snapshot returns with metrics, parent chaining, carry-forward
+    of unwritten tables, and drop_prefixes supersession. Iceberg runs
+    against a stubbed writeTo (no jar in this sandbox) — the seam the
+    adapter exists for."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    from upton_spark.sources import catalog as catmod
+
+    def contract(cat):
+        df = spark.createDataFrame([(1,)], "a int")
+        s1 = cat.commit(0, {"frontier": df, "frontier_delta_r0": df}, metrics={"fetched": 4})
+        assert (s1.snapshot_id, s1.round, s1.parent) == (1, 0, None)
+        assert s1.metrics == {"fetched": 4}
+        s2 = cat.commit(1, {"urls_seen": df})
+        assert s2.parent == 1
+        assert {"frontier", "frontier_delta_r0", "urls_seen"} <= set(s2.tables)
+        s3 = cat.commit(1, {"frontier": df}, drop_prefixes=("frontier_delta_r",))
+        assert "frontier_delta_r0" not in s3.tables
+        assert "urls_seen" in s3.tables
+        assert cat.latest().snapshot_id == 3
+        assert cat.snapshots() == [1, 2, 3]
+        assert cat.load(2).round == 1
+
+    contract(catmod.ManifestCatalog(spark, str(tmp_path / "manifest_cat")))
+
+    writes = []
+
+    class FakeWriter:
+        def __init__(self, ident):
+            self.ident = ident
+
+        def using(self, fmt):
+            assert fmt == "iceberg"
+            return self
+
+        def createOrReplace(self):
+            writes.append(self.ident)
+
+    monkeypatch.setattr(catmod, "iceberg_on_classpath", lambda spark: True)
+    monkeypatch.setattr(cdf.DataFrame, "writeTo", lambda self, ident: FakeWriter(ident))
+    contract(catmod.IcebergCatalog(spark))
+    assert "upton.frontier" in writes and "upton.urls_seen" in writes

@@ -385,3 +385,157 @@ def test_instance_pagination_hook(spark, pages):
     # fixture pages directly).
     assert docs[0] == ["Tools & Data ", "Tools and Resources for Reporting the Stimulus "]
     assert docs[1] == ["Chapter 1. Using Google Refine to Clean Messy Data "]
+
+
+def test_robots_gate_paths_equivalent(spark):
+    """Dict path (collect+broadcast) and join path (per-host rule arrays
+    joined by host) must produce identical admission decisions — incl.
+    exact-agent group override, wildcards, anchors, and rule-less hosts."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.robots import RobotsGate, robots_rules_df
+
+    robots = robots_rules_df(
+        spark,
+        [
+            ("a.example", "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"),
+            ("b.example", "User-agent: upton-spark\nDisallow: /only-us/\n"
+                          "User-agent: *\nDisallow: /\n"),
+            ("c.example", "User-agent: *\nDisallow: /*.pdf$\n"),
+        ],
+    )
+    urls = [
+        "http://a.example/private/x",
+        "http://a.example/private/ok/page",
+        "http://a.example/public",
+        "http://b.example/only-us/page",
+        "http://b.example/anything",
+        "http://c.example/a/b.pdf",
+        "http://c.example/a/b.pdfx",
+        "http://norules.example/whatever",
+    ]
+    frontier = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "host", F.element_at(F.split(F.col("url"), "/"), 3)
+    )
+    for agent, expected in [
+        ("upton-spark", {
+            "http://a.example/private/x": False,
+            "http://a.example/private/ok/page": True,
+            "http://a.example/public": True,
+            "http://b.example/only-us/page": False,
+            "http://b.example/anything": True,  # exact group overrides '*'
+            "http://c.example/a/b.pdf": False,
+            "http://c.example/a/b.pdfx": True,
+            "http://norules.example/whatever": True,
+        }),
+        ("*", {
+            "http://b.example/only-us/page": False,
+            "http://b.example/anything": False,  # '*' group: Disallow /
+        }),
+    ]:
+        gate_dict = RobotsGate(spark, robots, agent)  # default threshold -> dict
+        assert gate_dict.mode == "dict"
+        gate_join = RobotsGate(spark, robots, agent, dict_max_rules=0)  # force join
+        assert gate_join.mode == "join"
+        d = {r["url"]: r["robots_allowed"] for r in gate_dict(frontier).collect()}
+        j = {r["url"]: r["robots_allowed"] for r in gate_join(frontier).collect()}
+        assert d == j, agent
+        for url, want in expected.items():
+            assert d[url] is want, (agent, url)
+        gate_dict.close()
+        gate_dict.close()  # idempotent
+
+
+def test_robots_rules_built_once_per_crawl(spark, pages, monkeypatch):
+    """The round loop must reuse ONE RobotsGate across all fetch rounds —
+    a per-round rebuild re-collects and re-broadcasts the rules table every
+    round (the scale anti-pattern this test pins away)."""
+    from upton_spark.operators import robots as robots_ops
+
+    builds = []
+    orig_init = robots_ops.RobotsGate.__init__
+
+    def counting_init(self, *a, **kw):
+        builds.append(1)
+        orig_init(self, *a, **kw)
+
+    monkeypatch.setattr(robots_ops.RobotsGate, "__init__", counting_init)
+    robots = robots_rules_df(
+        spark, [("www.example.com", "User-agent: *\nDisallow: /prosecutor.html\n")]
+    )
+    # sleep=30/budget=30 -> 1 token/host/round -> multiple fetch rounds
+    crawler = Crawler(
+        spark, pages, [basic_seed(sleep_time_between_requests=30.0)],
+        robots=robots, round_budget_s=30.0,
+    )
+    result = crawler.crawl()
+    assert len({r["round"] for r in result.lineage.filter("phase='instance'").collect()}) >= 3
+    assert sum(builds) == 1
+    statuses = {r["url"]: r["status"] for r in result.frontier.collect()}
+    assert statuses[f"{BASE}/prosecutor.html"] == "blocked"
+
+
+def test_oneshot_matches_loop_exactly(spark, pages, monkeypatch):
+    """The closed-form one-shot fetch phase must be bit-identical to the
+    round loop: same extraction, same frontier statuses, same seen-set incl.
+    per-url first_round, same per-round lineage rows."""
+
+    def run(force_loop):
+        with monkeypatch.context() as m:
+            if force_loop:
+                m.setattr(Crawler, "_oneshot_eligible", lambda self, s: False)
+            c = Crawler(
+                spark, pages, [basic_seed(sleep_time_between_requests=30.0)],
+                round_budget_s=30.0, clock="2024-03-01 12:00:00",
+            )
+            assert c._oneshot_eligible(None) is not force_loop
+            res = c.crawl()
+            return (
+                _texts(res),
+                sorted((r["url"], r["status"], r["attempts"]) for r in res.frontier.collect()),
+                sorted((r["url"], r["first_round"], str(r["fetched_at"]))
+                       for r in res.urls_seen.collect()),
+                sorted(tuple(r) for r in res.lineage.collect()),
+            )
+
+    assert run(force_loop=False) == run(force_loop=True)
+
+
+def test_oneshot_matches_loop_with_robots_and_delay(spark, pages, monkeypatch):
+    """One-shot parity under robots blocking + Crawl-delay tokens."""
+    robots = robots_rules_df(
+        spark,
+        [("www.example.com",
+          "User-agent: *\nDisallow: /prosecutor.html\nCrawl-delay: 30\n")],
+    )
+
+    def run(force_loop):
+        with monkeypatch.context() as m:
+            if force_loop:
+                m.setattr(Crawler, "_oneshot_eligible", lambda self, s: False)
+            c = Crawler(
+                spark, pages, [basic_seed()], robots=robots,
+                round_budget_s=30.0, clock="2024-03-01 12:00:00",
+            )
+            res = c.crawl()
+            return (
+                _texts(res),
+                sorted((r["url"], r["status"]) for r in res.frontier.collect()),
+                sorted((r["url"], r["first_round"]) for r in res.urls_seen.collect()),
+                sorted(tuple(r) for r in res.lineage.collect()),
+            )
+
+    assert run(force_loop=False) == run(force_loop=True)
+
+
+def test_oneshot_ineligible_cases_fall_back(spark, pages):
+    """Failure injection, catalogs, kill-simulation, and heterogeneous seed
+    sleeps must keep the stateful loop (the closed form would be wrong or
+    would break the per-round commit contract)."""
+    failures = spark.createDataFrame([("u", 1)], "url string, fail_times int")
+    assert not Crawler(spark, pages, [basic_seed()], fetch_failures=failures)._oneshot_eligible(None)
+    assert not Crawler(spark, pages, [basic_seed()])._oneshot_eligible(1)
+    hetero = [basic_seed(), SeedSpec(1, url_list=["http://x/y"], extract_selector="h1",
+                                     extract_kind="text", sleep_time_between_requests=5.0)]
+    assert not Crawler(spark, pages, hetero)._oneshot_eligible(None)
+    assert Crawler(spark, pages, [basic_seed()])._oneshot_eligible(None)

@@ -151,6 +151,7 @@ class Crawler:
         expected_url_capacity: int = 1 << 20,
         bloom_fpr: float = 1e-3,
         index_sequential: bool = False,
+        extract_prune_max_urls: int = 20_000,
         assume_unique_urls: bool = False,
         broadcast_frontier: bool = True,
         fetch_failures: DataFrame | None = None,
@@ -195,6 +196,7 @@ class Crawler:
                     f"(expected one of {sorted(known_kinds)})"
                 )
         self.index_sequential = index_sequential
+        self.extract_prune_max_urls = extract_prune_max_urls
         # corpus contract flags:
         # - assume_unique_urls: pages has one capture per url (synthetic
         #   corpora; Iceberg tables maintained by MERGE) -> skip the
@@ -275,6 +277,14 @@ class Crawler:
             schema=schemas.SEEDS,
         )
         self._pages_latest: DataFrame | None = None
+        # robots state is built ONCE per crawl (collect+broadcast or the
+        # per-host rule-array join side) and reused across every round —
+        # rebuilding per round leaks one broadcast per round and puts a
+        # driver collect on the round critical path (scale-killer at
+        # web-scale rule tables). Released in close().
+        self._robots_gate: robots_ops.RobotsGate | None = None
+        self._crawl_delays: DataFrame | None = None
+        self._crawl_delays_built = False
 
     # ------------------------------------------------------------------ util
     def close(self) -> None:
@@ -283,7 +293,25 @@ class Crawler:
         parquet, so closing earlier invalidates them. Unregisters the atexit
         backstop so closed crawlers are collectable; safe to call twice."""
         atexit.unregister(self.close)
+        if self._robots_gate is not None:
+            self._robots_gate.close()
+            self._robots_gate = None
         shutil.rmtree(self._scratch, ignore_errors=True)
+
+    def _get_robots_gate(self) -> robots_ops.RobotsGate:
+        if self._robots_gate is None:
+            self._robots_gate = robots_ops.RobotsGate(
+                self.spark, self.robots, self.user_agent
+            )
+        return self._robots_gate
+
+    def _get_crawl_delays(self) -> DataFrame | None:
+        """Per-host Crawl-delay dimension, built once per crawl (lazy DF; the
+        per-round cost is just the broadcast join it rides)."""
+        if not self._crawl_delays_built:
+            self._crawl_delays = robots_ops.crawl_delays(self.robots, self.user_agent)
+            self._crawl_delays_built = True
+        return self._crawl_delays
 
     def _materialize(self, df: DataFrame, label: str) -> DataFrame:
         """Pin round state as parquet + re-read. This BOTH truncates Catalyst
@@ -327,7 +355,9 @@ class Crawler:
                 )
         return self._pages_latest
 
-    def _pruned_pages(self, keys: DataFrame, url_col: str) -> DataFrame | None:
+    def _pruned_pages(
+        self, keys: DataFrame, url_col: str, key_urls: list[str] | None = None
+    ) -> DataFrame | None:
         """File-level pruning for a small fetch set: a url-column-only
         prescan (no html decompression) finds which corpus files contain any
         candidate url; the html-bearing probe then reads ONLY those files.
@@ -339,25 +369,53 @@ class Crawler:
         re-reads matched files directly, which would silently bypass any
         filter/projection a caller applied to ``pages``, so a transformed
         ``pages`` falls back to the (always-correct) unpruned join."""
+        files = self._prune_file_list(keys, url_col, key_urls)
+        if files is None:
+            return None
+        return self._latest_of(self.spark.read.parquet(*files))
+
+    def _prune_file_list(
+        self, keys: DataFrame, url_col: str, key_urls: list[str] | None = None
+    ) -> list[str] | None:
+        """The corpus files containing any candidate url, or None when
+        pruning is unavailable / not worthwhile (see _pruned_pages)."""
         if self.pages_path is None or not self.broadcast_frontier:
             return None
         if not self._pages_is_raw_scan():
             return None
-        files = [
-            r["_f"]
-            for r in self.pages.select(
-                F.col("url").alias(url_col), F.input_file_name().alias("_f")
-            )
-            .join(F.broadcast(keys), url_col, "left_semi")
-            .select("_f")
-            .distinct()
-            .collect()
-        ]
+        if key_urls is not None:
+            # driver-known candidate set (e.g. index-chain urls, a pure
+            # function of the seed list): an IN predicate pushes down to the
+            # parquet scan, so row-group url stats prune the prescan itself —
+            # cheaper than the semi-join prescan, which must stream the whole
+            # url column
+            files = [
+                r["_f"]
+                for r in self.pages.filter(F.col("url").isin(key_urls))
+                .select(F.input_file_name().alias("_f"))
+                .distinct()
+                .collect()
+            ]
+        else:
+            files = [
+                r["_f"]
+                for r in self.pages.select(
+                    F.col("url").alias(url_col), F.input_file_name().alias("_f")
+                )
+                .join(F.broadcast(keys), url_col, "left_semi")
+                .select("_f")
+                .distinct()
+                .collect()
+            ]
         if not files or not all(files):
             return None
         if len(files) >= max(1, len(self.pages.inputFiles())) * 0.5:
             return None
-        pruned = self.spark.read.parquet(*files)
+        return files
+
+    def _latest_of(self, pruned: DataFrame) -> DataFrame:
+        """(url, html) with the dedup-latest rule applied (skipped under the
+        assume_unique_urls corpus contract)."""
         if self.assume_unique_urls:
             return pruned.select("url", "html")
         w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc_nulls_last())
@@ -412,6 +470,31 @@ class Crawler:
                     field.name, F.lit(None).cast(field.dataType)
                 )
         return matched.unionByName(unmatched)
+
+    @staticmethod
+    def _collect_decision_counts(
+        df: DataFrame, decision_col, extra: dict | None = None
+    ) -> tuple[dict[tuple[str, int], int], dict[str, int]]:
+        """Per-(decision, host-bucket) lineage counts from a MATERIALIZED
+        round table — one tiny groupBy job over the round's parquet (the
+        round table is politeness-bounded, never O(frontier)). ``extra``
+        names boolean columns/exprs to count-if in the same job (e.g. the
+        index chain's alive-next-round count), so accounting stays a single
+        job per round."""
+        pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for name, cond in (extra or {}).items():
+            aggs.append(F.count(F.when(cond, F.lit(1))).alias(name))
+        rows = (
+            df.groupBy(decision_col.alias("__decision"), pid.alias("__pid"))
+            .agg(*aggs)
+            .collect()
+        )
+        counts = {(r["__decision"], r["__pid"]): r["__n"] for r in rows}
+        extras = {
+            name: sum(r[name] for r in rows) for name in (extra or {})
+        }
+        return counts, extras
 
     def _empty_seen(self) -> DataFrame:
         return self.spark.createDataFrame([], schema=schemas.URLS_SEEN)
@@ -656,18 +739,60 @@ class Crawler:
             .select("seed_id", "page_round", "pos", "url")
         )
 
+    def _index_candidate_urls_local(self, max_urls: int = 10_000) -> list[str] | None:
+        """Driver-side replica of _index_page_candidates' URL universe (the
+        same pure urlkit functions the UDFs wrap) — usable as a pushdown IN
+        filter for the prescan. None when the candidate set is too large to
+        inline (falls back to the distributed semi-join prescan)."""
+        from upton_spark import urlkit
+
+        urls: list[str] = []
+        for s in self.seeds:
+            if not s.seed_url or s.index_selector is None:
+                continue
+            pages_n = s.pagination_max_pages if s.paginated else 1
+            if len(urls) + pages_n > max_urls:
+                return None
+            for k in range(pages_n):
+                pi = s.pagination_start_index + k * s.pagination_interval
+                raw = urlkit.next_index_page_url(
+                    s.seed_url,
+                    pi,
+                    paginated=s.paginated,
+                    pagination_param=s.pagination_param,
+                    pagination_max_pages=s.pagination_max_pages,
+                )
+                if not raw:
+                    continue
+                u = urlkit.resolve_url_or_none(raw, s.seed_url)
+                if u:
+                    urls.append(u)
+        return urls
+
     def run_index_phase_sequential(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Fetch paginated index chains, project links. Returns (links, seen).
 
         One pagination page per alive seed per round; a seed's chain stops on
         empty next-url (past max pages), next==prev (non-paginated seeds
-        after round 0), or empty body (lib/upton.rb:295-311)."""
+        after round 0), or empty body (lib/upton.rb:295-311).
+
+        Each round is TWO Spark jobs (down from five): candidates (UDF chain
+        + admission), body join, and body-emptiness land in a single
+        materialized round table; one tiny groupBy over that parquet then
+        yields the lineage counts AND the alive-next-round count together.
+        Links and the next round's chain state derive lazily from the round
+        parquet. Politeness-bounded crawls are round-dominated, so per-round
+        driver job count is the wall-clock at thousands of rounds."""
         index_seeds = self.seeds_df.filter(
             (F.col("seed_url") != "") & F.col("index_selector").isNotNull()
         )
         state = (
             index_seeds.withColumn("pagination_index", F.col("pagination_start_index"))
             .withColumn("prev_url", F.lit(None).cast("string"))
+        )
+        # initial alive count is known driver-side — no state.count() job
+        alive = sum(
+            1 for s in self.seeds if s.seed_url and s.index_selector is not None
         )
         links_parts: list[DataFrame] = []
         round_no = 0
@@ -676,12 +801,36 @@ class Crawler:
         )
         seed_cols = [f.name for f in schemas.SEEDS.fields]
         # candidate pagination URLs are predictable up front, so the corpus
-        # file-prune prescan runs ONCE for the whole phase, not per round
-        pl_index = self._pruned_pages(
+        # file-prune prescan runs ONCE for the whole phase, not per round —
+        # and when the candidate list is driver-computable (bounded seeds),
+        # as an IN-pushdown rather than a full url-column scan
+        prune_files = self._prune_file_list(
             self._index_page_candidates().select(F.col("fetch_url").alias("url")).distinct(),
             "url",
+            key_urls=self._index_candidate_urls_local(),
         )
-        while round_no < max_rounds and state.count() > 0:
+        pl_index = (
+            self._latest_of(self.spark.read.parquet(*prune_files))
+            if prune_files is not None
+            else None
+        )
+        # When the pruned index corpus is small enough (on-disk size), flip
+        # the join: broadcast the CORPUS side and plain-left-join the
+        # candidate chain. _join_bodies' matched/unmatched decomposition
+        # (broadcast the small frontier, stream the corpus) would evaluate
+        # the candidate UDF chain ~3x per round — once per broadcast build
+        # and once per anti-join probe; a broadcast-right left join keeps it
+        # to one evaluation, the round's dominant cost at few-seeds scale.
+        bcast_pages = False
+        if prune_files is not None:
+            try:
+                total = sum(
+                    os.path.getsize(f.removeprefix("file:")) for f in prune_files
+                )
+                bcast_pages = total <= 64 << 20
+            except OSError:
+                bcast_pages = False
+        while round_no < max_rounds and alive > 0:
             cand = state.withColumn(
                 "next_url_raw",
                 next_index_page_url_udf(
@@ -721,66 +870,70 @@ class Crawler:
                     _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
                 ),
             )
-            # cand is tiny (alive seeds) but its plan carries two Python-UDF
-            # stages: materializing once per round beats re-paying the
-            # Python-worker stage latency for every consumer (counts, fetch
-            # join, deferred-state) — measured ~3x on the politeness bench
-            cand = self._materialize(
-                polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id")),
-                "index_cand",
-            )
+            cand = polite_ops.admit_per_host(cand, order_cols=("pagination_index", "seed_id"))
 
-            admitted = cand.filter(F.col("admitted"))
-            fetched = self._join_bodies(
-                admitted, "fetch_url", pages_override=pl_index, prune_files=True
-            ).withColumn(
+            # fused round table: candidates + bodies in one write. The body
+            # join covers deferred rows too (corpus replay: a join row is not
+            # a live fetch — lineage/politeness accounting is decision-based)
+            # so admitted and deferred alike read back from one parquet.
+            if bcast_pages:
+                fused = cand.join(
+                    F.broadcast(pl_index.withColumnRenamed("url", "fetch_url")),
+                    "fetch_url",
+                    "left",
+                )
+            else:
+                fused = self._join_bodies(
+                    cand, "fetch_url", pages_override=pl_index, prune_files=True
+                )
+            fused = fused.withColumn(
                 "body_empty", F.col("html").isNull() | (F.length("html") == 0)
             )
-            fetched = self._materialize(fetched, "index_seq_fetched")
-
-            pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+            fused = self._materialize(fused, "index_round")
             decision = (
                 F.when(~F.col("admitted"), "deferred")
                 .when(F.col("cache_hit"), "cache_hit")
                 .otherwise("fetched")
             )
-            counts = {
-                (r["decision"], r["pid"]): r["count"]
-                for r in cand.select(decision.alias("decision"), pid.alias("pid"))
-                .groupBy("decision", "pid")
-                .count()
-                .collect()
-            }
+            counts, extra = self._collect_decision_counts(
+                fused, decision,
+                extra={"__advanced": F.col("admitted") & ~F.col("body_empty")},
+            )
+
             n_live = sum(v for (d, _), v in counts.items() if d == "fetched")
+            n_deferred = sum(v for (d, _), v in counts.items() if d == "deferred")
             if self.index_cached and n_live:
                 seen, _ = self._mark_seen(
                     seen,
-                    admitted.filter(~F.col("cache_hit")).select(F.col("fetch_url").alias("url")),
+                    fused.filter(F.col("admitted") & ~F.col("cache_hit")).select(
+                        F.col("fetch_url").alias("url")
+                    ),
                     round_no,
                     n_live,
                 )
             if counts or round_no == 0:  # trailing empty rounds add no lineage
                 self._note_lineage("index", round_no, counts)
 
+            fetched = fused.filter(F.col("admitted"))
             links_parts.append(
                 self._project_links(fetched.filter(~F.col("body_empty")), F.lit(round_no))
             )
 
             # advance: admitted seeds move to the next pagination index and
             # survive only with a non-empty body; deferred seeds retry as-is.
+            # Lazy over the round parquet — exactly one filter/union layer,
+            # so the next round's UDF chain stays one parquet read deep.
             advanced = (
                 fetched.filter(~F.col("body_empty"))
                 .withColumn("pagination_index", F.col("pagination_index") + F.col("pagination_interval"))
                 .withColumn("prev_url", F.col("fetch_url"))
                 .select(*seed_cols, "pagination_index", "prev_url")
             )
-            deferred_state = cand.filter(~F.col("admitted")).select(
+            deferred_state = fused.filter(~F.col("admitted")).select(
                 *seed_cols, "pagination_index", "prev_url"
             )
-            # state rows = alive seeds (small even at frontier scale);
-            # materializing per round keeps the next round's UDF chain one
-            # parquet read deep instead of compounding across rounds
-            state = self._materialize(advanced.unionByName(deferred_state), "index_state")
+            state = advanced.unionByName(deferred_state)
+            alive = extra["__advanced"] + n_deferred
             round_no += 1
 
         if links_parts:
@@ -850,6 +1003,10 @@ class Crawler:
         per-host token admission → mark fetched, merge seen → snapshot
         commit with per-host-bucket lineage. Deferred rows re-enter next
         round. Returns (frontier, seen) with statuses resolved."""
+        if self._oneshot_eligible(stop_after_round):
+            return self._run_fetch_rounds_oneshot(
+                frontier, seen, phase=phase, max_rounds=max_rounds, start_round=start_round
+            )
         round_no = start_round
         rounds_done = 0
         seen_layers = 0  # lazy union layers on `seen` since its last write
@@ -866,7 +1023,7 @@ class Crawler:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            cand = robots_ops.robots_gate(self.spark, cand, self.robots, self.user_agent)
+            cand = self._get_robots_gate()(cand)
             blocked = cand.filter(~F.col("robots_allowed"))
             allowed_cand = cand.filter(F.col("robots_allowed"))
 
@@ -889,7 +1046,7 @@ class Crawler:
                 "seed_id",
                 "left",
             )
-            delays = robots_ops.crawl_delays(self.robots, self.user_agent)
+            delays = self._get_crawl_delays()
             if delays is not None:
                 new_urls = (
                     new_urls.join(F.broadcast(delays), "host", "left")
@@ -927,7 +1084,6 @@ class Crawler:
                 F.col("attempts") + 1 >= F.lit(self.max_fetch_attempts)
             )
 
-            pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
             decisions = (
                 new_urls.select(
                     "url_hash",
@@ -949,13 +1105,7 @@ class Crawler:
                 )
             )
             decisions = self._materialize(decisions, "decisions")
-            counts = {
-                (r["decision"], r["pid"]): r["count"]
-                for r in decisions.withColumn("pid", pid)
-                .groupBy("decision", "pid")
-                .count()
-                .collect()
-            }
+            counts, _ = self._collect_decision_counts(decisions, F.col("decision"))
             n_admitted = sum(v for (d, _), v in counts.items() if d == "fetched")
             n_deferred = sum(v for (d, _), v in counts.items() if d == "deferred")
             n_retry = sum(v for (d, _), v in counts.items() if d == "retry")
@@ -1044,6 +1194,219 @@ class Crawler:
                 break
         return frontier, seen
 
+    def _oneshot_eligible(self, stop_after_round: int | None) -> bool:
+        """The politeness round schedule is PREDICTABLE — a queued url with
+        per-host admission rank r is fetched in round (r-1) div host_tokens —
+        whenever nothing perturbs it between rounds. One distributed pass can
+        then compute every round's decisions, statuses, per-round lineage,
+        and the seen-set, bit-identical to the loop but with O(1) driver jobs
+        instead of O(rounds): the wall-clock unlock for politeness-bounded
+        crawls (round-dominated by construction). Requirements:
+
+        * no injected fetch failures (retries re-enter admission and shift
+          later rows' rounds),
+        * no catalog (the per-round delta-commit contract wants a commit
+          boundary per round; resumability keeps the loop),
+        * no kill-simulation (stop_after_round targets the loop),
+        * a uniform seed sleep budget: with one sleep across seeds, every
+          row on a host shares host_tokens (robots Crawl-delay maxes in
+          per-host, so it stays uniform), making the closed form exact.
+          Heterogeneous budgets make admission rank interleaving
+          state-dependent -> loop.
+        Equivalence is pinned by test_oneshot_matches_loop_*."""
+        if self.fetch_failures is not None or self.catalog is not None:
+            return False
+        if stop_after_round is not None:
+            return False
+        return len({s.sleep_time_between_requests for s in self.seeds}) <= 1
+
+    def _run_fetch_rounds_oneshot(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        *,
+        phase: str,
+        max_rounds: int,
+        start_round: int,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Closed-form fetch phase (see _oneshot_eligible): one decisions
+        write + one tiny counts collect, then driver-side lineage replay."""
+        queued = frontier.filter(F.col("status") == "queued")
+        w = Window.partitionBy("url_hash").orderBy("priority", "seed_id", "instance_index")
+        cand = (
+            queued.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cand = self._get_robots_gate()(cand)
+        blocked = cand.filter(~F.col("robots_allowed"))
+        allowed_cand = cand.filter(F.col("robots_allowed"))
+
+        if self.instance_cached and self._seen_count > 0:
+            cache_hits = allowed_cand.join(
+                seen.select("url_hash").distinct(), "url_hash", "left_semi"
+            )
+            new_urls = dedup_ops.dedup_against_seen(
+                self.spark, allowed_cand, seen,
+                self._bloom if self._bloom_active else None,
+            )
+        else:
+            cache_hits = allowed_cand.limit(0)
+            new_urls = allowed_cand
+
+        new_urls = new_urls.join(
+            F.broadcast(self.seeds_df.select("seed_id", "sleep_time_between_requests")),
+            "seed_id",
+            "left",
+        )
+        delays = self._get_crawl_delays()
+        if delays is not None:
+            new_urls = (
+                new_urls.join(F.broadcast(delays), "host", "left")
+                .withColumn(
+                    "sleep_time_between_requests",
+                    F.greatest(
+                        F.col("sleep_time_between_requests"),
+                        F.coalesce("crawl_delay", F.lit(0.0)),
+                    ),
+                )
+                .drop("crawl_delay")
+            )
+        new_urls = new_urls.withColumn(
+            "host_tokens", _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
+        )
+        # the loop's admit_per_host re-ranks remaining rows each round with
+        # constant per-host tokens; closed form: round = (rank-1) div tokens
+        order_cols = ("priority", "seed_id", "instance_index", "pagination_index", "url")
+        present = [c for c in order_cols if c in new_urls.columns]
+        wh = Window.partitionBy("host").orderBy(
+            *[F.col(c).asc_nulls_last() for c in present]
+        )
+        round_rel = F.floor((F.row_number().over(wh) - 1) / F.col("host_tokens"))
+        decisions = (
+            new_urls.select(
+                "url_hash",
+                "url",
+                "host",
+                F.lit("fetched").alias("decision"),
+                (F.lit(start_round) + round_rel).cast("int").alias("round_assigned"),
+            )
+            .unionByName(
+                cache_hits.select(
+                    "url_hash", "url", "host",
+                    F.lit("cache_hit").alias("decision"),
+                    F.lit(start_round).cast("int").alias("round_assigned"),
+                )
+            )
+            .unionByName(
+                blocked.select(
+                    "url_hash", "url", "host",
+                    F.lit("blocked").alias("decision"),
+                    F.lit(start_round).cast("int").alias("round_assigned"),
+                )
+            )
+        )
+        decisions = self._materialize(decisions, "decisions_oneshot")
+        pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+        rows = (
+            decisions.groupBy("decision", "round_assigned", pid.alias("pid"))
+            .count()
+            .collect()
+        )
+        if not rows:
+            return frontier, seen  # nothing queued: loop parity = no lineage
+
+        # rows past the round cap stay queued (the loop would stop at
+        # max_rounds with them still deferred)
+        cap = start_round + max_rounds
+        fetched_by_round: dict[int, dict[int, int]] = {}
+        overflow: dict[int, int] = {}
+        first_round_counts: dict[tuple[str, int], int] = {}
+        for r in rows:
+            if r["decision"] == "fetched":
+                if r["round_assigned"] >= cap:
+                    overflow[r["pid"]] = overflow.get(r["pid"], 0) + r["count"]
+                else:
+                    by_pid = fetched_by_round.setdefault(r["round_assigned"], {})
+                    by_pid[r["pid"]] = by_pid.get(r["pid"], 0) + r["count"]
+            else:
+                key = (r["decision"], r["pid"])
+                first_round_counts[key] = first_round_counts.get(key, 0) + r["count"]
+
+        if overflow:
+            n_rounds = max_rounds
+        else:
+            rel_max = max((r - start_round for r in fetched_by_round), default=-1)
+            n_rounds = max(rel_max + 1, 1 if (first_round_counts or fetched_by_round) else 0)
+        n_fetched_total = sum(sum(p.values()) for p in fetched_by_round.values())
+
+        for rel in range(n_rounds):
+            r = start_round + rel
+            per_pid: dict[tuple[str, int], int] = {}
+            for p, v in fetched_by_round.get(r, {}).items():
+                per_pid[("fetched", p)] = v
+            if rel == 0:
+                for (d, p), v in first_round_counts.items():
+                    per_pid[(d, p)] = v
+            # deferred at round r = rows admitted in a later round + overflow
+            for r2, by_pid in fetched_by_round.items():
+                if r2 > r:
+                    for p, v in by_pid.items():
+                        per_pid[("deferred", p)] = per_pid.get(("deferred", p), 0) + v
+            for p, v in overflow.items():
+                per_pid[("deferred", p)] = per_pid.get(("deferred", p), 0) + v
+            if self.instance_cached:
+                self._seen_count += sum(fetched_by_round.get(r, {}).values())
+            self._note_lineage(phase, r, per_pid)
+
+        status_map = decisions.filter(
+            (F.col("decision") != "fetched") | (F.col("round_assigned") < cap)
+        ).select("url_hash", F.col("decision").alias("new_status"))
+        if not self.instance_cached:
+            status_map = status_map.withColumn(
+                "new_status",
+                F.when(F.col("new_status") == "cache_hit", "fetched").otherwise(
+                    F.col("new_status")
+                ),
+            )
+        status_map = status_map.dropDuplicates(["url_hash"])
+        frontier = self._materialize(self._merge_status(frontier, status_map), "frontier_round")
+
+        if self.instance_cached and n_fetched_total:
+            seen = self._mark_seen_assigned(
+                seen,
+                decisions.filter(
+                    (F.col("decision") == "fetched") & (F.col("round_assigned") < cap)
+                ),
+                update_bloom=self.next_instance_page_url_fn is not None,
+            )
+        return frontier, seen
+
+    def _mark_seen_assigned(
+        self, seen: DataFrame, fetched: DataFrame, update_bloom: bool
+    ) -> DataFrame:
+        """One-shot seen merge: per-row first_round = the round the closed
+        form fetched it in (loop parity). self._seen_count was already
+        advanced round-by-round by the lineage replay — no double count."""
+        stamp = self.clock or datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        new_rows = dedup_ops.with_url_hashes(fetched.select("url", "round_assigned")).select(
+            "url_hash",
+            "url",
+            F.col("round_assigned").cast("int").alias("first_round"),
+            F.to_timestamp(F.lit(stamp)).alias("fetched_at"),
+        )
+        merged = seen.unionByName(new_rows)
+        if update_bloom and self._bloom_active:
+            dedup_ops.build_bloom(
+                dedup_ops.with_url_hashes(new_rows.select("url")), into=self._bloom
+            )
+        elif update_bloom and self._seen_count >= self._bloom_min_seen:
+            self._bloom_active = True
+            dedup_ops.build_bloom(
+                dedup_ops.with_url_hashes(merged.select("url")), into=self._bloom
+            )
+        return merged
+
     def _merge_status(self, frontier: DataFrame, status_map: DataFrame) -> DataFrame:
         """Apply one round's status delta (url_hash, new_status) to the
         frontier: terminal statuses overwrite 'queued'; 'retry'/'failed'
@@ -1108,11 +1471,18 @@ class Crawler:
         return seen
 
     # ------------------------------------------------------ extraction phase
-    def attach_bodies(self, frontier: DataFrame) -> DataFrame:
+    def attach_bodies(self, frontier: DataFrame, prune_files: bool = False) -> DataFrame:
         """Frontier rows + page bodies. Missing/blocked/empty-url rows get a
         NULL body → decoded '' — the reference's EMPTY_STRING fetch-failure
-        encoding (lib/upton.rb:35, lib/upton/downloader.rb:67)."""
-        joined = self._join_bodies(frontier, "url")
+        encoding (lib/upton.rb:35, lib/upton/downloader.rb:67).
+
+        ``prune_files``: restrict the html-bearing corpus scan to the files a
+        url prescan matched — a politeness-bounded crawl extracts a tiny
+        fraction of the corpus, and without pruning the extraction join
+        decompresses every page's html anyway. Callers gate it on frontier
+        size (the prescan costs a url-column scan; a frontier touching most
+        files falls back inside _pruned_pages)."""
+        joined = self._join_bodies(frontier, "url", prune_files=prune_files)
         return joined.withColumn(
             "html",
             F.when(F.col("status").isin("fetched", "cache_hit"), F.col("html")).otherwise(
@@ -1199,7 +1569,7 @@ class Crawler:
         # rides the broadcast body join — the driver-side hash relation
         # shrinks ~2x vs broadcasting all frontier columns
         slim = frontier.select("url", "seed_id", "instance_index", "pagination_index", "status")
-        extracted = self.extract(self.attach_bodies(slim))
+        extracted = self.extract(self.attach_bodies(slim, prune_files=self._extract_prune(frontier)))
         result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
         if self.catalog is not None:
             self.catalog.commit(
@@ -1264,7 +1634,7 @@ class Crawler:
         # rides the broadcast body join — the driver-side hash relation
         # shrinks ~2x vs broadcasting all frontier columns
         slim = frontier.select("url", "seed_id", "instance_index", "pagination_index", "status")
-        extracted = self.extract(self.attach_bodies(slim))
+        extracted = self.extract(self.attach_bodies(slim, prune_files=self._extract_prune(frontier)))
         result = CrawlResult(extracted, frontier, seen, self.lineage_df(), links)
         self.catalog.commit(
             -1,
@@ -1323,6 +1693,15 @@ class Crawler:
             frontier = self._materialize(frontier.unionByName(new_rows), "frontier_pag")
             frontier, seen = self.run_fetch_rounds(frontier, seen, phase=f"instance_pag_{k}")
         return frontier
+
+    def _extract_prune(self, frontier: DataFrame) -> bool:
+        """Prune the extraction corpus scan only for small frontiers: the
+        count is a parquet-footer job on the materialized frontier, and the
+        threshold keeps bulk crawls (whose frontier touches most corpus
+        files anyway) from paying a useless url-column prescan."""
+        if self.pages_path is None or not self.broadcast_frontier:
+            return False
+        return frontier.count() <= self.extract_prune_max_urls
 
     def lineage_df(self) -> DataFrame:
         return self.spark.createDataFrame(self._lineage_rows, schema=schemas.LINEAGE)

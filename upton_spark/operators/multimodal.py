@@ -42,9 +42,12 @@ MEDIA = T.StructType(
 )
 
 
-def decoder_available() -> bool:
-    """True when a real image decoder is importable (PIL etc.). This
-    container ships none, so the pipeline runs the deterministic fake."""
+def decoder_available(fmt: str = "png") -> bool:
+    """True when a real decoder exists for ``fmt``: PNG always (the vendored
+    pure-stdlib codec in operators.png_codec), anything else only when an
+    image library is importable (this container ships none)."""
+    if (fmt or "").lower() == "png":
+        return True
     try:  # pragma: no cover - environment-dependent
         import PIL.Image  # noqa: F401
 
@@ -53,75 +56,127 @@ def decoder_available() -> bool:
         return False
 
 
-def _fake_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+def _real_decode(payload: bytes, fmt: str, out_hw: tuple[int, int]) -> np.ndarray:
+    """Real decode+resize for formats with an available decoder (currently
+    the vendored PNG codec): bytes → (h, w) float grid in [0, 1], resized by
+    block/repeat sampling (no interpolation library in the container)."""
+    from upton_spark.operators.png_codec import decode_png_grey
+
+    if (fmt or "").lower() != "png":
+        raise NotImplementedError(f"no decoder for format {fmt!r} in this container")
+    grid = decode_png_grey(payload)
+    h, w = out_hw
+    ys = (np.arange(h) * grid.shape[0]) // h
+    xs = (np.arange(w) * grid.shape[1]) // w
+    return grid[np.ix_(ys, xs)]
+
+
+def _fake_decode_batch(payloads: list[bytes], out_hw: tuple[int, int]) -> np.ndarray:
     """Deterministic stand-in for decode+resize: expands an xorshift64*
-    stream seeded from the payload into an (h, w) float grid in [0, 1].
-    Same payload → same pixels, any size — keeps every downstream stage
-    (resize, features, embedding) real and testable without a codec.
+    stream seeded from each payload into an (n_assets, h, w) float grid in
+    [0, 1]. Same payload → same pixels, any size — keeps every downstream
+    stage (resize, features, embedding) real and testable without a codec.
 
     Seed = little-endian uint64 of md5(lowercase-hex(payload)) digest bytes
     [8:16] — i.e. DuckDB's ``md5_number_lower(hex-string)`` — so the whole
     fake pipeline is replayable by a SQL oracle (a recursive CTE steps the
-    same xorshift chain)."""
+    same xorshift chain).
+
+    The chain is sequential in its steps but vectorized ACROSS the batch:
+    one uint64 state vector advances h*w times, so Python-level work is
+    O(pixels), not O(assets × pixels) — the template a real decoder
+    inherits (per-batch numpy, never per-pixel Python)."""
     h, w = out_hw
     n = h * w
-    digest = hashlib.md5((payload or b"").hex().encode()).digest()
-    seed = struct.unpack("<Q", digest[8:16])[0]
-    # xorshift64* stream — cheap, deterministic, numpy-vectorizable
-    out = np.empty(n, dtype=np.uint64)
-    x = np.uint64(seed or 1)
+    seeds = []
+    for payload in payloads:
+        digest = hashlib.md5((payload or b"").hex().encode()).digest()
+        seed = struct.unpack("<Q", digest[8:16])[0]
+        seeds.append(seed or 1)
+    x = np.asarray(seeds, dtype=np.uint64)
+    out = np.empty((len(seeds), n), dtype=np.uint64)
     for i in range(n):
-        x ^= x >> np.uint64(12)
-        x ^= (x << np.uint64(25)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x ^= x >> np.uint64(27)
-        out[i] = x
-    return (out / np.float64(2**64)).reshape(h, w)
+        x = x ^ (x >> np.uint64(12))
+        x = x ^ ((x << np.uint64(25)) & np.uint64(0xFFFFFFFFFFFFFFFF))
+        x = x ^ (x >> np.uint64(27))
+        out[:, i] = x
+    return (out / np.float64(2**64)).reshape(len(seeds), h, w)
+
+
+def _fake_decode(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """Single-asset convenience wrapper over the batch kernel."""
+    return _fake_decode_batch([payload], out_hw)[0]
 
 
 def decode_and_featurize(
-    media: DataFrame, resize_to: tuple[int, int] = (8, 8), payload_col: str = "payload"
+    media: DataFrame,
+    resize_to: tuple[int, int] = (8, 8),
+    payload_col: str = "payload",
+    decoder: str = "fake",
 ) -> DataFrame:
     """decode → resize → feature-extract as one mapInPandas stage.
 
     Output: asset_id, n_bytes, mean_intensity, std_intensity,
     feature ARRAY<FLOAT> (the flattened resized grid — the embedding input).
-    Raises NotImplementedError from the decode step only if a real decoder
-    is REQUIRED (env var UPTON_SPARK_REQUIRE_DECODER=1) but unavailable.
+
+    ``decoder``: ``"fake"`` (default — the deterministic SQL-replayable
+    stub) or ``"real"`` — decode actual bytes via the per-format decoder
+    (vendored PNG codec; PIL for other formats when installed; requires a
+    ``meta.format`` column). Raises NotImplementedError from the decode step
+    when a real decoder is required — decoder="real", or env var
+    UPTON_SPARK_REQUIRE_DECODER=1 — but unavailable for the formats present.
     """
     import os
 
-    require_real = os.environ.get("UPTON_SPARK_REQUIRE_DECODER") == "1"
-    if require_real and not decoder_available():
-        raise NotImplementedError(
-            "real media decoding requires an image library (PIL); not present in this container"
-        )
+    if os.environ.get("UPTON_SPARK_REQUIRE_DECODER") == "1":
+        decoder = "real"
+    if decoder == "real":
+        # eager per-format availability check (clear driver-side error
+        # instead of a wrapped executor failure mid-job)
+        fmts = {r[0] for r in media.select("meta.format").distinct().collect()}
+        missing = sorted(f for f in fmts if not decoder_available(f))
+        if missing:
+            raise NotImplementedError(
+                f"no real decoder for formats {missing} in this container "
+                "(vendored codec covers png; install an image library for the rest)"
+            )
     h, w = resize_to
     schema = (
         "asset_id long, n_bytes long, mean_intensity double, std_intensity double, "
         "feature array<float>"
     )
 
+    cols = ["asset_id", payload_col]
+    if decoder == "real":
+        media = media.withColumn("_fmt", F.col("meta.format"))
+        cols.append("_fmt")
+
     def run(batches):
         for pdf in batches:
-            rows = []
-            for asset_id, payload in zip(pdf["asset_id"], pdf[payload_col]):
-                data = bytes(payload) if payload is not None else b""
-                grid = _fake_decode(data, (h, w))
-                rows.append(
-                    (
-                        int(asset_id),
-                        len(data),
-                        float(grid.mean()),
-                        float(grid.std()),
-                        grid.astype(np.float32).ravel().tolist(),
-                    )
-                )
+            datas = [
+                bytes(p) if p is not None else b"" for p in pdf[payload_col]
+            ]
+            if decoder == "real":
+                grids = np.stack(
+                    [
+                        _real_decode(d, fmt, (h, w))
+                        for d, fmt in zip(datas, pdf["_fmt"])
+                    ]
+                ) if datas else np.zeros((0, h, w))
+            else:
+                grids = _fake_decode_batch(datas, (h, w))
+            flat = grids.reshape(len(datas), h * w)
             yield pd.DataFrame(
-                rows,
-                columns=["asset_id", "n_bytes", "mean_intensity", "std_intensity", "feature"],
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "n_bytes": [len(d) for d in datas],
+                    "mean_intensity": flat.mean(axis=1) if len(datas) else [],
+                    "std_intensity": flat.std(axis=1) if len(datas) else [],
+                    "feature": [row.tolist() for row in flat.astype(np.float32)],
+                }
             )
 
-    return media.select("asset_id", payload_col).mapInPandas(run, schema=schema)
+    return media.select(*cols).mapInPandas(run, schema=schema)
 
 
 def frame_sample(

@@ -3,9 +3,11 @@
 The reference performs no robots handling at all (SURVEY.md §2.2 "[engine]"
 row); the north_star requires robots rules to gate admission *before
 enqueue*. Design: robots.txt bodies are just rows of the ``pages`` corpus
-(url = ``scheme://host/robots.txt``); a tiny parsed-rules dimension table is
-broadcast-joined onto the frontier and longest-prefix matching runs in a
-vectorized UDF (original REP + Google longest-match semantics).
+(url = ``scheme://host/robots.txt``); the parsed-rules table becomes a
+:class:`RobotsGate` built ONCE per crawl — a broadcast dict probe for small
+rule tables, a per-host rule-array join for web-scale ones — and
+longest-prefix matching runs in a vectorized UDF (original REP + Google
+longest-match semantics) either way.
 """
 
 from __future__ import annotations
@@ -105,46 +107,147 @@ def allowed(path: str, rules: list[tuple[str, str]]) -> bool:
     return best_allow
 
 
+def _decision_path(u) -> tuple[str, str] | None:
+    """(netloc, path?query) for matching, or None for NULL urls (allowed)."""
+    if u is None:
+        return None
+    parts = urlparse(u)
+    path = parts.path or "/"
+    if parts.query:
+        path = f"{path}?{parts.query}"
+    return parts.netloc.lower(), path
+
+
+class RobotsGate:
+    """Reusable robots admission gate — build ONCE per crawl, apply every
+    round, ``close()`` when done.
+
+    Two physical shapes behind one decision semantics (longest-match REP,
+    exact-agent group if present for the host else ``*``):
+
+    * **dict path** (rule tables up to ``dict_max_rules`` rows): rules are
+      collected and broadcast as a Python dict a vectorized UDF probes.
+      Built exactly once — the round loop must NOT rebuild it (a per-round
+      collect+broadcast is a driver-memory and round-latency scale-killer at
+      10^7-10^8 robots-bearing hosts, and un-unpersisted handles leak one
+      broadcast per round).
+    * **join path** (anything bigger): rules are grouped into per-host,
+      agent-resolved rule arrays and JOINED onto the frontier by ``host`` —
+      a plain distributed join (broadcast or shuffle-by-host, Catalyst's
+      call; the frontier is already host-partitioned so the exchange
+      amortizes), with the same longest-match decision running over the
+      joined array. Nothing rule-shaped ever lands on the driver.
+
+    The join path keys on the frontier's ``host`` column (the engine's
+    canonical parse_url HOST, how a web-scale rules table is keyed); the
+    dict path derives netloc from the url itself. Equivalence is pinned by
+    test_robots_gate_paths_equivalent."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        robots: DataFrame | None,
+        agent: str = "*",
+        dict_max_rules: int = 50_000,
+    ):
+        self.spark = spark
+        self.agent = agent.lower()
+        self._bc = None
+        self._rules_by_host: DataFrame | None = None
+        if robots is None:
+            self.mode = "open"
+            return
+        mine = robots.filter(F.col("rule_type").isin("allow", "disallow")).filter(
+            F.col("agent").isin(self.agent, "*")
+        )
+        # bounded size probe: never counts past the threshold
+        small = mine.limit(dict_max_rules + 1).count() <= dict_max_rules
+        if small:
+            self.mode = "dict"
+            table: dict[str, dict[str, list[tuple[str, str]]]] = {}
+            for r in mine.collect():  # bounded by dict_max_rules
+                table.setdefault(r["host"], {}).setdefault(r["agent"], []).append(
+                    (r["rule_type"], r["path_prefix"])
+                )
+            self._bc = spark.sparkContext.broadcast(table)
+        else:
+            self.mode = "join"
+            ag = self.agent
+            grouped = mine.groupBy("host").agg(
+                F.collect_list(F.struct("agent", "rule_type", "path_prefix")).alias("_all")
+            )
+            exact = F.filter("_all", lambda s: s["agent"] == F.lit(ag))
+            star = F.filter("_all", lambda s: s["agent"] == F.lit("*"))
+            chosen = F.when(F.size(exact) > 0, exact).otherwise(star)
+            self._rules_by_host = grouped.select(
+                "host",
+                F.transform(
+                    chosen,
+                    lambda s: F.struct(
+                        s["rule_type"].alias("rule_type"),
+                        s["path_prefix"].alias("path_prefix"),
+                    ),
+                ).alias("_robots_rules"),
+            )
+
+    def __call__(self, frontier: DataFrame) -> DataFrame:
+        if self.mode == "open":
+            return frontier.withColumn("robots_allowed", F.lit(True))
+        if self.mode == "dict":
+            bc, agent = self._bc, self.agent
+
+            @F.pandas_udf(T.BooleanType())
+            def dict_allowed(url: pd.Series) -> pd.Series:
+                tbl = bc.value
+                out = []
+                for u in url:
+                    d = _decision_path(u)
+                    if d is None:
+                        out.append(True)
+                        continue
+                    netloc, path = d
+                    host_rules = tbl.get(netloc)
+                    if not host_rules:
+                        out.append(True)
+                        continue
+                    rules = host_rules.get(agent, host_rules.get("*", []))
+                    out.append(allowed(path, rules))
+                return pd.Series(out)
+
+            return frontier.withColumn("robots_allowed", dict_allowed(F.col("url")))
+
+        @F.pandas_udf(T.BooleanType())
+        def join_allowed(url: pd.Series, rules: pd.Series) -> pd.Series:
+            out = []
+            for u, rs in zip(url, rules):
+                d = _decision_path(u)
+                if d is None or rs is None or len(rs) == 0:
+                    out.append(True)
+                    continue
+                out.append(
+                    allowed(d[1], [(r["rule_type"], r["path_prefix"]) for r in rs])
+                )
+            return pd.Series(out)
+
+        joined = frontier.join(self._rules_by_host, "host", "left")
+        return joined.withColumn(
+            "robots_allowed", join_allowed(F.col("url"), F.col("_robots_rules"))
+        ).drop("_robots_rules")
+
+    def close(self) -> None:
+        """Release the broadcast handle (dict path). Safe to call twice."""
+        if self._bc is not None:
+            self._bc.unpersist()
+            self._bc = None
+
+
 def robots_gate(
     spark: SparkSession, frontier: DataFrame, robots: DataFrame | None, agent: str = "*"
 ) -> DataFrame:
-    """Add boolean ``robots_allowed`` to the frontier.
-
-    The rules table is tiny (one group of prefixes per host) → collected and
-    broadcast as a dict; matching is vectorized per batch. Agent resolution:
-    exact agent group if present for the host, else ``*`` group."""
-    if robots is None:
-        return frontier.withColumn("robots_allowed", F.lit(True))
-    agent = agent.lower()
-    rule_rows = robots.filter(F.col("rule_type").isin("allow", "disallow")).collect()
-    table: dict[str, dict[str, list[tuple[str, str]]]] = {}
-    for r in rule_rows:
-        table.setdefault(r["host"], {}).setdefault(r["agent"], []).append(
-            (r["rule_type"], r["path_prefix"])
-        )
-    bc = spark.sparkContext.broadcast(table)
-
-    @F.pandas_udf(T.BooleanType())
-    def robots_allowed(url: pd.Series) -> pd.Series:
-        tbl = bc.value
-        out = []
-        for u in url:
-            if u is None:
-                out.append(True)
-                continue
-            parts = urlparse(u)
-            host_rules = tbl.get(parts.netloc.lower())
-            if not host_rules:
-                out.append(True)
-                continue
-            rules = host_rules.get(agent, host_rules.get("*", []))
-            path = parts.path or "/"
-            if parts.query:
-                path = f"{path}?{parts.query}"
-            out.append(allowed(path, rules))
-        return pd.Series(out)
-
-    return frontier.withColumn("robots_allowed", robots_allowed(F.col("url")))
+    """One-shot convenience wrapper: build a RobotsGate, apply it. Round
+    loops must build the gate ONCE and reuse it (Crawler does) — calling
+    this per round re-collects and re-broadcasts the rules every time."""
+    return RobotsGate(spark, robots, agent)(frontier)
 
 
 def crawl_delays(robots: DataFrame | None, agent: str = "*") -> DataFrame | None:

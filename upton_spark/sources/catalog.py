@@ -119,25 +119,40 @@ class ManifestCatalog:
         return self.spark.read.parquet(snap.tables[name])
 
 
+def iceberg_on_classpath(spark: SparkSession) -> bool:
+    """Whether the Iceberg Spark runtime jar is loadable (module-level seam
+    so the contract test can exercise IcebergCatalog without the jar)."""
+    try:
+        spark._jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
 class IcebergCatalog:
     """Real Iceberg snapshot commits — requires the Iceberg Spark runtime jar.
 
-    Not usable in this sandbox (no jar shipped); the interface matches
-    ManifestCatalog so engine code and tests are agnostic."""
+    Same ``commit``/``latest``/``table`` contract as ManifestCatalog (one
+    shared contract test pins it: tests/test_sinks_and_evict.py): commit
+    returns a Snapshot carrying metrics and the carried-forward table map
+    (drop_prefixes honored), so engine code is catalog-agnostic. Physical
+    differences: data lands as Iceberg ``createOrReplace`` table commits
+    (Iceberg's own metadata tree supersedes the JSON manifest; metrics are
+    additionally set as table properties on the first table committed), and
+    ``table`` reads back through the catalog identifier. The snapshot LIST
+    is tracked in-process for interface parity — a restarting driver should
+    resume from Iceberg's snapshot log, which this sandbox (jar-less) can't
+    exercise."""
 
     def __init__(self, spark: SparkSession, namespace: str = "upton"):
-        jvm_ok = True
-        try:
-            spark._jvm.Class.forName("org.apache.iceberg.spark.SparkCatalog")  # type: ignore[union-attr]
-        except Exception:
-            jvm_ok = False
-        if not jvm_ok:
+        if not iceberg_on_classpath(spark):
             raise RuntimeError(
                 "Iceberg runtime not on the Spark classpath; use ManifestCatalog "
                 "(add iceberg-spark-runtime to spark.jars to enable)"
             )
         self.spark = spark
         self.namespace = namespace
+        self._snapshots: list[Snapshot] = []
 
     def commit(
         self,
@@ -145,12 +160,45 @@ class IcebergCatalog:
         tables: dict[str, DataFrame],
         metrics: dict | None = None,
         drop_prefixes: tuple[str, ...] = (),
-    ):
+    ) -> Snapshot:
+        parent = self.latest()
+        sid = (parent.snapshot_id + 1) if parent else 1
+        snap = Snapshot(sid, round_no, parent.snapshot_id if parent else None, {}, metrics or {})
         for name, df in tables.items():
-            df.writeTo(f"{self.namespace}.{name}").using("iceberg").createOrReplace()
-        # Iceberg tracks snapshot ids (and supersession of delta tables via
-        # replace) itself; metrics go to table properties.
-        return None
+            ident = f"{self.namespace}.{name}"
+            df.writeTo(ident).using("iceberg").createOrReplace()
+            snap.tables[name] = ident
+        if metrics and tables:
+            first = next(iter(snap.tables.values()))
+            props = ", ".join(
+                f"'upton.metrics.{k}'='{v}'" for k, v in metrics.items()
+            )
+            try:
+                self.spark.sql(f"ALTER TABLE {first} SET TBLPROPERTIES ({props})")
+            except Exception:
+                pass  # metrics are advisory; the snapshot object carries them
+        if parent:
+            for name, ident in parent.tables.items():
+                if any(name.startswith(p) for p in drop_prefixes):
+                    continue
+                snap.tables.setdefault(name, ident)
+        self._snapshots.append(snap)
+        return snap
+
+    def snapshots(self) -> list[int]:
+        return [s.snapshot_id for s in self._snapshots]
+
+    def latest(self) -> Snapshot | None:
+        return self._snapshots[-1] if self._snapshots else None
+
+    def load(self, snapshot_id: int) -> Snapshot:
+        for s in self._snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        raise KeyError(snapshot_id)
+
+    def table(self, snap: Snapshot, name: str) -> DataFrame:
+        return self.spark.read.table(snap.tables[name])
 
 
 def get_catalog(spark: SparkSession, root: str):

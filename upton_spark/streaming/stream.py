@@ -18,6 +18,7 @@ mapping recorded in the survey:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -65,16 +66,20 @@ def _token_bucket_fn(tokens_per_trigger: int):
         else:
             tokens = 0
         tokens += tokens_per_trigger  # refill per trigger
-        out = []
         for pdf in pdfs:
-            for url in pdf["url"]:
-                if tokens > 0:
-                    tokens -= 1
-                    out.append((host, url, True))
-                else:
-                    out.append((host, url, False))
+            # vectorized: the first `tokens` rows of the trigger admit, the
+            # rest defer — one arange comparison per Arrow batch, no per-row
+            # Python (position-in-batch < remaining budget ≡ the row loop)
+            k = min(tokens, len(pdf))
+            tokens -= k
+            yield pd.DataFrame(
+                {
+                    "host": host,
+                    "url": pdf["url"].to_numpy(),
+                    "admitted": np.arange(len(pdf)) < k,
+                }
+            )
         state.update((min(tokens, tokens_per_trigger),))  # cap carryover
-        yield pd.DataFrame(out, columns=["host", "url", "admitted"])
 
     return fn
 
