@@ -547,6 +547,22 @@ def q_minhash_near_dups(spark, sf_dir):
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS: connected components by
+    iterative min-label propagation over the MinHash pair graph (the "keep
+    one per component" step of corpus dedup). Oracle: the full MinHash
+    pipeline replayed in SQL, then a recursive-CTE transitive closure
+    taking the min reachable doc_id per node."""
+    from upton_spark.operators.dedup_docs import (
+        duplicate_components,
+        near_duplicates_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = near_duplicates_minhash(docs, threshold=0.5)
+    return duplicate_components(pairs).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash over md5 token hashes; oracle replays the bit
     sign-sums in SQL (md5_number_lower + HUGEINT bit arithmetic)."""
@@ -613,6 +629,69 @@ def q_media_frame_sample(spark, sf_dir):
         frame_sample(media, every_ms=500)
         .groupBy("asset_id")
         .agg(F.count("*").cast("long").alias("n_frames"))
+    )
+
+
+def q_warc_ingest(spark, sf_dir):
+    """WARC source (ISO 28500): documents re-archived as one gzip-per-record
+    .warc.gz (the Common Crawl convention), then stream-parsed back into
+    PAGES rows task-parallel by sources.warc.read_warc. The synthesis step
+    is driver-side test plumbing; the parse under test is distributed. The
+    oracle recomputes url/byte-length/timestamp straight from documents."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F2
+
+    from upton_spark.sources.warc import read_warc, write_warc
+
+    docs = _docs_with_url(_t(spark, sf_dir, "documents")).select("url", "text").collect()
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 1, 0, 0, 0)
+    fd, path = tempfile.mkstemp(suffix=".warc.gz")
+    os.close(fd)
+    try:
+        write_warc(
+            [(r["url"], ts, r["text"].encode("utf-8")) for r in docs], path
+        )
+        pages = read_warc(spark, [path])
+        return pages.select(
+            "url",
+            F2.length("html").cast("long").alias("html_bytes"),
+            F2.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts_s"),
+        ).orderBy("url").localCheckpoint()
+    finally:
+        os.unlink(path)
+
+
+def q_robots_from_pages(spark, sf_dir):
+    """Distributed robots.txt ingestion: per-source robots bodies carried as
+    corpus rows (url = http://<source>/robots.txt), parsed into the ROBOTS
+    rule table by operators.robots.robots_from_pages (mapInPandas — rules
+    never transit the driver). Bodies are a deterministic function of the
+    source name, so the oracle regenerates the parse results in SQL."""
+    from pyspark.sql import functions as F2
+
+    from upton_spark.operators.robots import robots_from_pages
+
+    hosts = _t(spark, sf_dir, "documents").select("source").distinct()
+    body = F2.concat(
+        F2.lit("User-agent: *\nDisallow: /private-"),
+        F2.col("source"),
+        F2.lit("/\nAllow: /private-"),
+        F2.col("source"),
+        F2.lit("/ok\nCrawl-delay: 3\n"),
+    )
+    pages = hosts.select(
+        F2.concat(F2.lit("http://"), F2.col("source"), F2.lit("/robots.txt")).alias("url"),
+        F2.to_timestamp(F2.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        body.cast("binary").alias("html"),
+        F2.lit(None).cast("string").alias("text"),
+        F2.lit(None).cast("string").alias("lang"),
+    )
+    return robots_from_pages(pages).select(
+        "host", "agent", "rule_type", "path_prefix", "crawl_delay"
     )
 
 
@@ -784,8 +863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_jaccard_pairs": q_char_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        # sources (WARC ingestion, robots-from-corpus)
+        "warc_ingest": q_warc_ingest,
+        "robots_from_pages": q_robots_from_pages,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
+        "dup_clusters": q_dup_clusters,
         "simhash": q_simhash,
         "language_id": q_language_id,
         "fingerprint_rolling": q_fingerprint_rolling,
@@ -859,6 +942,28 @@ def _minhash_oracle() -> str:
           FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b
         )
         SELECT a, b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.5
+    """
+
+
+def _dup_clusters_oracle() -> str:
+    """Transitive closure of the MinHash near-dup graph (recursive CTE);
+    component label = min reachable doc_id (incl. self)."""
+    mh = _minhash_oracle()
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT a, b FROM ({mh}) q),
+        edges AS (
+          SELECT a AS x, b AS y FROM pairs
+          UNION
+          SELECT b AS x, a AS y FROM pairs
+        ),
+        reach(x, y) AS (
+          SELECT x, y FROM edges
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+        )
+        SELECT CAST(x AS BIGINT) AS doc_id,
+               CAST(least(x, min(y)) AS BIGINT) AS component
+        FROM reach GROUP BY x ORDER BY doc_id
     """
 
 
@@ -1443,7 +1548,27 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,
+        "warc_ingest": """
+            SELECT source || '/' || CAST(doc_id AS VARCHAR) AS url,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS html_bytes,
+                   '2024-01-01 00:00:00' AS warc_ts_s
+            FROM documents ORDER BY url
+        """,
+        "robots_from_pages": """
+            WITH s AS (SELECT DISTINCT source FROM documents)
+            SELECT lower(source) AS host, '*' AS agent, 'disallow' AS rule_type,
+                   '/private-' || source || '/' AS path_prefix,
+                   CAST(NULL AS DOUBLE) AS crawl_delay
+            FROM s
+            UNION ALL
+            SELECT lower(source), '*', 'allow', '/private-' || source || '/ok',
+                   CAST(NULL AS DOUBLE)
+            FROM s
+            UNION ALL
+            SELECT lower(source), '*', 'crawl-delay', '', 3.0 FROM s
+        """,
         "minhash_near_dups": _minhash_oracle(),
+        "dup_clusters": _dup_clusters_oracle(),
         "simhash": _simhash_oracle(),
         "language_id": _language_id_oracle(),
         "fingerprint_rolling": _fingerprint_oracle(),

@@ -86,17 +86,37 @@ def run_politeness_bench(spark, pages, corpus_path: str, sleep_time: float = 2.5
     round-2 comparable), 30 → ~30 rounds (the marginal-cost probe: with the
     closed-form instance schedule, extra politeness rounds cost ~no extra
     driver jobs, so rounds/s should RISE with round count)."""
-    from pyspark.sql import functions as F
-
-    from upton_spark.crawler import Crawler
     from upton_spark.sources.corpus import synth_seeds
 
     seeds = synth_seeds(600, 100, sleep_time=sleep_time)[300:312]
+    return _politeness_crawl(spark, pages, corpus_path, seeds)
+
+
+def run_politeness_chain_deep_bench(spark, pages, corpus_path: str) -> dict:
+    """Politeness horizon probe: the two Zipf-head hosts (~50-page index
+    chains, ~4k instances) at sleep=30/budget=60 → 2 tokens/host/round →
+    thousands of schedule rounds. The closed-form index+instance schedulers
+    make the driver cost O(1) in rounds, so this measures what a
+    politeness-bounded crawl of a real hot host costs: the data work, not
+    rounds x per-round driver latency."""
+    from upton_spark.sources.corpus import synth_seeds
+
+    seeds = synth_seeds(600, 100, sleep_time=30.0)[0:2]
+    return _politeness_crawl(spark, pages, corpus_path, seeds)
+
+
+def _politeness_crawl(spark, pages, corpus_path: str, seeds) -> dict:
+    from pyspark.sql import functions as F
+
+    from upton_spark.crawler import Crawler
+
     t0 = time.time()
     crawler = Crawler(
         spark, pages, seeds, assume_unique_urls=True, pages_path=corpus_path
     )
-    result = crawler.crawl()
+    # cover the chain-deep probe's full politeness horizon (~1.4k rounds);
+    # the default 64-round cap would truncate it mid-schedule
+    result = crawler.crawl(max_fetch_rounds=4096)
     row = result.extracted.agg(
         F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
     ).collect()[0]
@@ -171,6 +191,12 @@ def main() -> None:
     timings["politeness_rounds_deep"] = politeness_deep["seconds"]
     total += politeness_deep["seconds"]
 
+    chain_deep = run_politeness_chain_deep_bench(
+        spark, spark.read.parquet(corpus_path), corpus_path
+    )
+    timings["politeness_chain_deep"] = chain_deep["seconds"]
+    total += chain_deep["seconds"]
+
     for name in HEADLINE_QUERIES:
         fn = queries[name]
         t0 = time.time()
@@ -193,6 +219,7 @@ def main() -> None:
                 "frontier": frontier_stats,
                 "politeness_rounds": politeness_stats,
                 "politeness_rounds_deep": politeness_deep,
+                "politeness_chain_deep": chain_deep,
             }
         )
     )

@@ -121,3 +121,31 @@ def test_minhash_plan_has_no_cartesian(docs):
     plan = near_duplicates_minhash(docs, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_components_label_propagation(spark):
+    """Connected components over a hand-built pair graph: chains collapse
+    transitively (label-hop > 1), components don't merge, singleton nodes
+    outside the pair table are absent by contract."""
+    from upton_spark.operators.dedup_docs import duplicate_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} via a chain; {10,11}; {20,21,22} via a star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in duplicate_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_duplicate_components_long_chain_converges(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    fixpoint loop beyond one hop."""
+    from upton_spark.operators.dedup_docs import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "a long, b long"
+    )
+    rows = duplicate_components(pairs).collect()
+    assert {r["component"] for r in rows} == {100}
+    assert len(rows) == 13

@@ -539,3 +539,43 @@ def test_oneshot_ineligible_cases_fall_back(spark, pages):
                                      extract_kind="text", sleep_time_between_requests=5.0)]
     assert not Crawler(spark, pages, hetero)._oneshot_eligible(None)
     assert Crawler(spark, pages, [basic_seed()])._oneshot_eligible(None)
+
+
+def test_index_oneshot_matches_sequential_loop(spark, pages, monkeypatch):
+    """The simulated index schedule (one distributed pass) must reproduce
+    the sequential round loop exactly — per-round lineage, link rows incl.
+    page_round, extraction — on the contended case: two sleeping paginated
+    chains sharing one host at 1 token/round."""
+
+    def seeds():
+        return [
+            basic_seed(sleep_time_between_requests=30.0),
+            SeedSpec(
+                1,
+                seed_url=f"{BASE}/propublica_search.html",
+                index_selector=".compact-list a.title-link",
+                extract_selector="h1.article-title",
+                extract_kind="text",
+                paginated=True,
+                pagination_param="p",
+                pagination_max_pages=3,
+                sleep_time_between_requests=30.0,
+            ),
+        ]
+
+    def run(force_loop):
+        with monkeypatch.context() as m:
+            if force_loop:
+                m.setattr(Crawler, "_index_oneshot_eligible", lambda self: False)
+            c = Crawler(spark, pages, seeds(), round_budget_s=30.0,
+                        clock="2024-03-01 12:00:00")
+            assert c._index_oneshot_eligible() is not force_loop
+            res = c.crawl()
+            return (
+                _texts(res),
+                sorted(tuple(r) for r in res.lineage.collect()),
+                sorted(tuple(r) for r in res.links.collect()),
+                sorted((r["url"], r["status"]) for r in res.frontier.collect()),
+            )
+
+    assert run(force_loop=False) == run(force_loop=True)

@@ -1,0 +1,138 @@
+"""WARC ingestion (ISO 28500 subset) and distributed robots-from-corpus
+parsing — the web-scale source formats feeding the ``pages`` table."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from upton_spark.sources.fixtures import BASE, fixture_pages, fixture_rows
+from upton_spark.sources.warc import (
+    iter_warc_records,
+    pages_rows_from_warc,
+    read_warc,
+    write_warc,
+)
+
+
+class TestWarc:
+    @pytest.mark.parametrize("suffix", [".warc", ".warc.gz"])
+    def test_round_trip_local(self, tmp_path, suffix):
+        rows = [
+            ("http://a.example/x.html", datetime(2024, 3, 1, 12, 0, 0), b"<h1>A</h1>"),
+            ("http://b.example/y.html", None, b""),
+            ("http://c.example/z.html", datetime(2023, 1, 2, 3, 4, 5), "é".encode()),
+        ]
+        path = str(tmp_path / f"t{suffix}")
+        write_warc(rows, path)
+        got = list(pages_rows_from_warc(path))
+        assert [(u, h) for u, _, h, _, _ in got] == [(u, h) for u, _, h in rows]
+        assert got[0][1] == datetime(2024, 3, 1, 12, 0, 0)
+
+    def test_read_warc_distributed_matches_fixture_corpus(self, spark, tmp_path):
+        """Fixture corpus → two WARC archives → read_warc: byte-identical
+        html per url vs the in-memory pages table."""
+        rows = [(u, ts, html) for (u, ts, html, _, _) in fixture_rows()]
+        p1, p2 = str(tmp_path / "a.warc.gz"), str(tmp_path / "b.warc")
+        write_warc(rows[:6], p1)
+        write_warc(rows[6:], p2)
+        got = {
+            r["url"]: (r["warc_ts"], bytes(r["html"]))
+            for r in read_warc(spark, [p1, p2]).collect()
+        }
+        want = {u: (ts, html) for u, ts, html in rows}
+        assert got == want
+
+    def test_crawl_over_warc_ingested_corpus(self, spark, tmp_path):
+        """End-to-end: the flagship golden crawl runs unchanged over a
+        WARC-ingested corpus (extraction byte-identical)."""
+        from upton_spark.crawler import Crawler, SeedSpec
+        from tests import goldens
+
+        path = str(tmp_path / "corpus.warc.gz")
+        write_warc([(u, ts, h) for (u, ts, h, _, _) in fixture_rows()], path)
+        pages = read_warc(spark, [path])
+        seeds = [
+            SeedSpec(
+                0,
+                seed_url=f"{BASE}/propublica.html",
+                index_selector="section#river section h1 a",
+                extract_selector="h1.article-title",
+                extract_kind="text",
+                sleep_time_between_requests=0.0,
+            )
+        ]
+        result = Crawler(spark, pages, seeds).crawl()
+        texts = [
+            r["text"]
+            for r in result.extracted.orderBy("instance_index").collect()
+        ]
+        assert texts == goldens.HEADLINES
+
+    def test_non_page_records_skipped(self, tmp_path):
+        """warcinfo/request records (no page payload) are skipped."""
+        path = str(tmp_path / "meta.warc")
+        info = b"software: test\r\n"
+        rec = (
+            b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: "
+            + str(len(info)).encode()
+            + b"\r\n\r\n"
+            + info
+            + b"\r\n\r\n"
+        )
+        with open(path, "wb") as f:
+            f.write(rec)
+        write_warc([("http://x/y", None, b"<p>hi</p>")], str(tmp_path / "p.warc"))
+        with open(str(tmp_path / "p.warc"), "rb") as f:
+            rec2 = f.read()
+        with open(path, "ab") as f:
+            f.write(rec2)
+        rows = list(pages_rows_from_warc(path))
+        assert len(rows) == 1 and rows[0][0] == "http://x/y"
+        with open(path, "rb") as f:
+            assert len(list(iter_warc_records(f))) == 2
+
+
+class TestRobotsFromPages:
+    def test_matches_driver_side_parse_and_gates_crawl(self, spark):
+        """robots_from_pages (distributed, dedup-latest per host) must equal
+        the driver-side parser on the same bodies, and feed RobotsGate
+        end-to-end: a Disallow carried IN the corpus blocks the fetch."""
+        from upton_spark import schemas
+        from upton_spark.crawler import Crawler, SeedSpec
+        from upton_spark.operators.robots import (
+            robots_from_pages,
+            robots_rules_df,
+        )
+
+        body_new = "User-agent: *\nDisallow: /prosecutor.html\nCrawl-delay: 2\n"
+        body_old = "User-agent: *\nDisallow: /everything\n"
+        robots_rows = [
+            (f"{BASE}/robots.txt", datetime(2014, 1, 1), body_new.encode(), None, None),
+            # older capture must lose dedup-latest
+            (f"{BASE}/robots.txt", datetime(2010, 1, 1), body_old.encode(), None, None),
+        ]
+        pages = fixture_pages(spark).unionByName(
+            spark.createDataFrame(robots_rows, schema=schemas.PAGES)
+        )
+        rules = robots_from_pages(pages)
+        got = sorted(tuple(r) for r in rules.collect())
+        want = sorted(
+            tuple(r)
+            for r in robots_rules_df(spark, [("www.example.com", body_new)]).collect()
+        )
+        assert got == want
+
+        seeds = [
+            SeedSpec(
+                0,
+                seed_url=f"{BASE}/propublica.html",
+                index_selector="section#river section h1 a",
+                extract_selector="h1.article-title",
+                extract_kind="text",
+                sleep_time_between_requests=0.0,
+            )
+        ]
+        result = Crawler(spark, pages, seeds, robots=rules).crawl()
+        statuses = {r["url"]: r["status"] for r in result.frontier.collect()}
+        assert statuses[f"{BASE}/prosecutor.html"] == "blocked"

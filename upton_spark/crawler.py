@@ -585,9 +585,11 @@ class Crawler:
             and (s.sleep_time_between_requests or 0) > 0
             for s in self.seeds
         )
-        if self.index_sequential or any_index_sleep:
-            return self.run_index_phase_sequential(seen)
-        return self.run_index_phase_speculative(seen)
+        if not (self.index_sequential or any_index_sleep):
+            return self.run_index_phase_speculative(seen)
+        if any_index_sleep and self._index_oneshot_eligible():
+            return self.run_index_phase_oneshot(seen)
+        return self.run_index_phase_sequential(seen)
 
     def _index_page_candidates(self) -> DataFrame:
         """Every candidate index-pagination page URL, generated up front —
@@ -629,19 +631,13 @@ class Crawler:
         )
         return dedup_ops.with_url_hashes(cand, "fetch_url")
 
-    def run_index_phase_speculative(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Corpus-replay index phase: ONE distributed pass, no driver loop.
-
-        The reference's pagination chain is sequential only because page k's
-        *emptiness* gates page k+1 (lib/upton.rb:295-311) — the URLs
-        themselves are predictable. Against a replay corpus (where "fetch" is
-        a join, so speculative over-read is free) we can therefore generate
-        every candidate page URL up front with ``sequence``+``explode``, join
-        ``pages`` once, and recover the chain-termination semantics with a
-        window: a page belongs to the valid prefix iff no earlier page of its
-        seed was empty. Lineage counts only the valid prefix, so the
-        politeness sleep-count goldens hold exactly. A live-HTTP deployment
-        flips ``index_sequential=True`` to avoid speculative requests."""
+    def _fetch_all_index_pages(self, seen: DataFrame) -> DataFrame:
+        """ONE distributed pass over the whole candidate-page universe:
+        bodies joined, chain validity (no earlier empty page per seed) via a
+        window, stash hits tagged when index_cached, hrefs projected in the
+        same pass (unless an index_fn override needs the two-pass shape).
+        Materialized — the per-round/lineage logic of both one-pass index
+        phases derives lazily from this parquet."""
         cand = self._index_page_candidates()
 
         fetched = self._join_bodies(cand, "fetch_url", prune_files=True).withColumn(
@@ -674,7 +670,137 @@ class Crawler:
                 "hrefs",
                 extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
             )
-        fetched = self._materialize(fetched, "index_fetched")
+        return self._materialize(fetched, "index_fetched")
+
+    def _index_oneshot_eligible(self) -> bool:
+        """Closed-form index phase for SLEEPING seeds: chain-page rounds are
+        a deterministic per-host simulation over the speculative fetch table
+        (the loop's admission ranks by (pagination_index, seed_id) with a
+        constant per-host token budget, and chain death is knowable from the
+        fetched bodies). Eligible when the corpus-replay speculative fetch
+        is allowed (not index_sequential), rounds need no commit boundary
+        (no catalog), the seen-set can't produce mid-phase stash hits (not
+        index_cached — duplicate seed_urls could hit the stash mid-phase),
+        and the sleep budget is uniform (constant tokens per host)."""
+        if self.index_sequential or self.catalog is not None or self.index_cached:
+            return False
+        return len({s.sleep_time_between_requests for s in self.seeds}) <= 1
+
+    def run_index_phase_oneshot(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Politeness-aware index phase in O(1) driver jobs (vs O(rounds) in
+        the sequential loop — a 53-page chain costs 53 round-trips there):
+        speculative fetch of every candidate page, then a per-host
+        ``applyInPandas`` simulation replaying the sequential loop's
+        round-by-round admission (rank next pages by (pagination_index,
+        seed_id), admit ``tokens``, advance or die on empty body) to assign
+        each valid page its fetch round and each wait a deferred row.
+        Bit-identical lineage/links/extraction vs the loop is pinned by
+        test_index_oneshot_matches_sequential_loop."""
+        fetched = self._fetch_all_index_pages(seen)
+        sleep = next(
+            (
+                s.sleep_time_between_requests
+                for s in self.seeds
+                if s.seed_url and s.index_selector is not None
+            ),
+            0.0,
+        )
+        tokens = polite_ops.tokens_for(sleep, self.round_budget_s)
+
+        def simulate(pdf: pd.DataFrame) -> pd.DataFrame:
+            chains: dict[int, list[tuple[int, int]]] = {}
+            for sid, page_k, pag_idx in zip(
+                pdf["seed_id"], pdf["page_k"], pdf["pagination_index"]
+            ):
+                chains.setdefault(int(sid), []).append((int(page_k), int(pag_idx)))
+            for pages in chains.values():
+                pages.sort()
+            ptr = {sid: 0 for sid in chains}
+            host = pdf["host"].iloc[0] if len(pdf) else ""
+            out = []
+            rnd = 0
+            while True:
+                alive = sorted(
+                    (chains[sid][ptr[sid]][1], sid)
+                    for sid in chains
+                    if ptr[sid] < len(chains[sid])
+                )
+                if not alive:
+                    break
+                for rank, (_pag, sid) in enumerate(alive):
+                    page_k = chains[sid][ptr[sid]][0]
+                    admitted = rank < tokens
+                    out.append((host, sid, page_k, rnd, admitted))
+                    if admitted:
+                        ptr[sid] += 1
+                rnd += 1
+            return pd.DataFrame(
+                out, columns=["host", "seed_id", "page_k", "round", "admitted"]
+            )
+
+        valid = fetched.filter("chain_valid").select(
+            "host", "seed_id", "page_k", "pagination_index"
+        )
+        schedule = self._materialize(
+            valid.groupBy("host").applyInPandas(
+                lambda pdf: simulate(pdf),
+                schema="host string, seed_id int, page_k int, round int, admitted boolean",
+            ),
+            "index_schedule",
+        )
+
+        pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
+        rows = (
+            schedule.groupBy("admitted", "round", pid.alias("pid")).count().collect()
+        )
+        per_round: dict[int, dict[tuple[str, int], int]] = {}
+        for r in rows:
+            d = "fetched" if r["admitted"] else "deferred"
+            per_round.setdefault(r["round"], {})[(d, r["pid"])] = r["count"]
+        if per_round:
+            for rnd in sorted(per_round):
+                self._note_lineage("index", rnd, per_round[rnd])
+        else:
+            # no candidate pages at all — the loop still notes an empty
+            # round 0 for its index seeds
+            self._note_lineage("index", 0, {})
+
+        sched_adm = schedule.filter("admitted").select("seed_id", "page_k", "round")
+        if self.broadcast_frontier:
+            # schedule rows ~ chain pages (+ waits): slim; broadcasting keeps
+            # the html-bearing fetch table unshuffled. Past broadcastable
+            # scale, broadcast_frontier=False falls back to a shuffle join.
+            sched_adm = F.broadcast(sched_adm)
+        assigned = fetched.join(sched_adm, ["seed_id", "page_k"], "inner")
+        valid_pages = assigned.filter(~F.col("body_empty"))
+        if self.index_fn is None:
+            links = (
+                valid_pages.select(
+                    "seed_id",
+                    F.col("round").cast("int").alias("page_round"),
+                    F.posexplode_outer("hrefs").alias("pos", "url"),
+                )
+                .filter(F.col("pos").isNotNull())
+                .select("seed_id", "page_round", "pos", "url")
+            )
+            return links, seen
+        links = self._project_links(valid_pages, F.col("round"))
+        return self._materialize(links, "links"), seen
+
+    def run_index_phase_speculative(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Corpus-replay index phase: ONE distributed pass, no driver loop.
+
+        The reference's pagination chain is sequential only because page k's
+        *emptiness* gates page k+1 (lib/upton.rb:295-311) — the URLs
+        themselves are predictable. Against a replay corpus (where "fetch" is
+        a join, so speculative over-read is free) we can therefore generate
+        every candidate page URL up front with ``sequence``+``explode``, join
+        ``pages`` once, and recover the chain-termination semantics with a
+        window: a page belongs to the valid prefix iff no earlier page of its
+        seed was empty. Lineage counts only the valid prefix, so the
+        politeness sleep-count goldens hold exactly. A live-HTTP deployment
+        flips ``index_sequential=True`` to avoid speculative requests."""
+        fetched = self._fetch_all_index_pages(seen)
 
         pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
         decision = F.when(F.col("cache_hit"), "cache_hit").otherwise("fetched")
@@ -796,8 +922,14 @@ class Crawler:
         )
         links_parts: list[DataFrame] = []
         round_no = 0
-        max_rounds = 2 + max(
-            [s.pagination_max_pages * max(1, s.pagination_interval) for s in self.seeds] + [1]
+        # runaway backstop only — the loop exits on empty state. Must cover
+        # host CONTENTION: seeds sharing a host serialize on tokens, so the
+        # worst case is every chain on one host at 1 token/round = the SUM
+        # of chain caps, not the max.
+        max_rounds = 2 + sum(
+            (s.pagination_max_pages * max(1, s.pagination_interval) if s.paginated else 1)
+            for s in self.seeds
+            if s.seed_url and s.index_selector is not None
         )
         seed_cols = [f.name for f in schemas.SEEDS.fields]
         # candidate pagination URLs are predictable up front, so the corpus

@@ -289,3 +289,57 @@ def char_jaccard_pairs(
             ).alias("char_jaccard"),
         )
     )
+
+
+def duplicate_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 32
+) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: connected components by
+    min-label propagation (the standard MinHash postprocessing — "keep one
+    doc per component" needs components, not pairs).
+
+    Each iteration joins current labels across edges and takes the per-node
+    min — pure DataFrame joins/aggregations, so Catalyst/AQE own the
+    shuffles; iterations needed = graph diameter in label-hops (near-dup
+    components are small and dense, so single digits even at corpus scale —
+    this is the standard large-graph CC recipe absent GraphFrames).
+    Convergence is detected with one small count per iteration; plans stay
+    shallow because each round's labels are just (node, label) pairs.
+
+    Returns (doc_id, component) where component = min doc_id reachable —
+    only docs that appear in ``pairs`` (singletons are their own trivial
+    component and are omitted, matching the pairs table's domain).
+    """
+    edges = pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    edges = edges.unionByName(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).distinct()
+    # checkpoint the edge list once (pays any upstream UDF pipeline a single
+    # time) and each label generation (iterative joins otherwise stack into
+    # a combinatorial plan — the same lineage-truncation rule the crawl
+    # round loop applies)
+    edges = edges.localCheckpoint()
+    labels = (
+        edges.select(F.col("x").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.y == labels.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("x", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                (F.col("nlabel").isNotNull() & (F.col("nlabel") < F.col("label"))).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("_chg").limit(1).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -58,10 +58,54 @@ def parse_robots(host: str, body: str) -> list[tuple]:
 
 
 def robots_rules_df(spark: SparkSession, per_host_bodies: list[tuple[str, str]]) -> DataFrame:
+    """Driver-side constructor for tests/small jobs; web-scale rule tables
+    come from :func:`robots_from_pages` (distributed parse of the corpus's
+    own robots.txt captures)."""
     rows: list[tuple] = []
     for host, body in per_host_bodies:
         rows.extend(parse_robots(host, body))
     return spark.createDataFrame(rows, schema=schemas.ROBOTS)
+
+
+def robots_from_pages(pages: DataFrame) -> DataFrame:
+    """Distributed ROBOTS table from the ``pages`` corpus itself: rows whose
+    url is ``scheme://host/robots.txt`` are parsed per-host into rule rows
+    (the design the module docstring promises — at 10^7-10^8 robots-bearing
+    hosts the rules NEVER transit the driver; feed the result straight to
+    RobotsGate, which picks dict vs join shape by size).
+
+    Latest capture wins per host (dedup-latest on warc_ts, same as page
+    fetches); the per-row parse is an Arrow-batched pandas UDF over only
+    the robots rows (filter pushdown keeps the corpus scan to the
+    ``/robots.txt`` url subset)."""
+    from pyspark.sql import Window
+
+    robots_rows = pages.filter(F.col("url").endswith("/robots.txt")).withColumn(
+        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc_nulls_last())
+    latest = (
+        robots_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "html")
+    )
+
+    def parse_batches(batches):
+        for pdf in batches:
+            rows: list[tuple] = []
+            for host, body in zip(pdf["host"], pdf["html"]):
+                text = (
+                    bytes(body).decode("utf-8", errors="replace")
+                    if body is not None
+                    else ""
+                )
+                rows.extend(parse_robots(host, text))
+            yield pd.DataFrame(
+                rows,
+                columns=["host", "agent", "rule_type", "path_prefix", "crawl_delay"],
+            )
+
+    return latest.mapInPandas(parse_batches, schema=schemas.ROBOTS)
 
 
 _RULE_RE_CACHE: dict[str, "re.Pattern[str]"] = {}

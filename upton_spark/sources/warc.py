@@ -1,0 +1,159 @@
+"""WARC ingestion — Common-Crawl-style archives → the ``pages`` table.
+
+The engine's input contract is the Common-Crawl-shaped ``pages`` table
+(BASELINE.json input_hint); the archive format those corpora actually ship
+in is WARC (ISO 28500 / the public WARC 1.0-1.1 spec): a sequence of
+records, each a ``WARC/1.x`` header block (WARC-Type, WARC-Target-URI,
+WARC-Date, Content-Length) followed by that many payload bytes; crawl
+archives gzip each record as its own member, so a ``.warc.gz`` is a
+multi-member gzip stream (Python's gzip module reads those transparently).
+
+``read_warc(spark, paths)`` turns ``response``/``resource`` records into
+PAGES rows fully distributed: the driver only lists files; each task
+stream-parses its archives inside an Arrow-batched ``mapInPandas`` (one
+file at a time, record at a time — constant memory per task, so a 100 TB
+crawl ingests at scan parallelism). Response records carry an HTTP message
+as payload; the body after the first CRLFCRLF is the page html (kept as
+opaque ``binary``, exactly like the corpus contract — charset decoding
+happens later in the extraction UDFs).
+
+``write_warc`` emits the same subset (uncompressed or per-record-gzip) so
+tests round-trip without fixture binaries.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from upton_spark import schemas
+
+_CRLF = b"\r\n"
+
+
+def _read_headers(stream) -> dict[str, str] | None:
+    """One WARC header block (leading blank lines tolerated) → dict, or
+    None at end of stream."""
+    line = stream.readline()
+    while line in (_CRLF, b"\n"):
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise ValueError(f"expected WARC version line, got {line[:40]!r}")
+    headers: dict[str, str] = {}
+    while True:
+        line = stream.readline()
+        if line in (_CRLF, b"\n", b""):
+            return headers
+        key, _, value = line.decode("utf-8", errors="replace").partition(":")
+        headers[key.strip().lower()] = value.strip()
+
+
+def iter_warc_records(stream):
+    """Yield (headers, payload bytes) per record from a raw WARC stream."""
+    while True:
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        length = int(headers.get("content-length", "0"))
+        payload = stream.read(length)
+        if len(payload) != length:
+            raise ValueError("truncated WARC record payload")
+        yield headers, payload
+
+
+def _http_body(payload: bytes) -> bytes:
+    """Response-record payload = HTTP message; body follows the first
+    CRLFCRLF (bare-LF tolerated)."""
+    for sep in (b"\r\n\r\n", b"\n\n"):
+        idx = payload.find(sep)
+        if idx >= 0:
+            return payload[idx + len(sep):]
+    return payload
+
+
+def _parse_warc_date(value: str | None) -> datetime | None:
+    if not value:
+        return None
+    try:
+        dt = datetime.fromisoformat(value.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    # pages.warc_ts is naive-UTC (TIMESTAMP_NTZ parquet convention)
+    return dt.astimezone(timezone.utc).replace(tzinfo=None)
+
+
+def pages_rows_from_warc(path: str):
+    """Yield (url, warc_ts, html, text, lang) rows from one WARC file
+    (plain or .gz)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        stream = f if path.endswith(".gz") else io.BufferedReader(f)
+        for headers, payload in iter_warc_records(stream):
+            rtype = headers.get("warc-type", "")
+            url = headers.get("warc-target-uri")
+            if rtype not in ("response", "resource") or not url:
+                continue
+            body = _http_body(payload) if rtype == "response" else payload
+            yield (url, _parse_warc_date(headers.get("warc-date")), body, None, None)
+
+
+def read_warc(spark: SparkSession, paths: str | list[str], tasks: int | None = None) -> DataFrame:
+    """WARC file(s)/glob → PAGES DataFrame, parsed task-parallel.
+
+    The driver holds only the FILE LIST (cheap even at 10^5 archives); each
+    task opens its own files — posix paths here; a cluster deployment
+    fronts object-store archives with a fuse/NFS mount or swaps the opener.
+    ``tasks`` caps partitioning (default: one partition per file up to the
+    session's parallelism)."""
+    files = sorted(_glob.glob(paths)) if isinstance(paths, str) else list(paths)
+    if not files:
+        return spark.createDataFrame([], schema=schemas.PAGES)
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(missing[:3])
+    n = tasks or min(len(files), spark.sparkContext.defaultParallelism)
+    file_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n, "path")
+
+    def parse(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                rows = list(pages_rows_from_warc(path))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                    )
+
+    return file_df.mapInPandas(parse, schema=schemas.PAGES)
+
+
+def write_warc(rows, path: str, compress: bool | None = None) -> None:
+    """(url, warc_ts, html) triples → one WARC file (response records;
+    ``.gz`` path or compress=True gzips each record as its own member, the
+    crawl-archive convention)."""
+    compress = path.endswith(".gz") if compress is None else compress
+
+    def record(url: str, ts, html: bytes) -> bytes:
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + (html or b"")
+        stamp = (ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {stamp}\r\n"
+            f"Content-Length: {len(http)}\r\n"
+            f"\r\n"
+        ).encode()
+        return head + http + _CRLF + _CRLF
+
+    with open(path, "wb") as f:
+        for url, ts, html in rows:
+            data = record(url, ts, html)
+            f.write(gzip.compress(data) if compress else data)
