@@ -695,6 +695,140 @@ def q_robots_from_pages(spark, sf_dir):
     )
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Link-graph PageRank (frontier prioritization at web scale): a
+    deterministic synthetic link graph over documents (quadratic edge map
+    (d²+7kd+k+1) mod N, k<3, self-loops dropped — non-bijective, so
+    in-degrees are skewed like a real web graph) scored by 5 damped power
+    iterations, each one join-agg shuffle (operators.webgraph.pagerank).
+    Oracle: the same graph and the same 5 iterations unrolled as chained
+    CTEs; ranks are N-scaled (mean 1.0) and rounded to 6 so cross-engine
+    summation-order noise (~1e-15) can't flip the value hash."""
+    from upton_spark.operators.webgraph import pagerank, synth_link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_link_graph(docs, fanout=3)
+    ranks = pagerank(docs.select("doc_id"), edges, iters=5, damping=0.85)
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank")).orderBy("doc_id")
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """Aggressive URL canonicalization (frontier alias collapse): messy
+    synthetic URLs (upper-case scheme/host, default port, tracking params,
+    unsorted query, fragment) normalized entirely in built-in expressions
+    (operators.webgraph.canonical_url_col — regexp + array ops, codegen).
+    Oracle mirrors each step 1:1 in DuckDB string/list functions."""
+    from upton_spark.operators.webgraph import canonical_url_col
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper("source"),
+            F.lit(":80/Path"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("/page.html?utm_source=x&b="),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&a=1#frag"),
+        ).alias("page_url"),
+    )
+    return messy.select(
+        "doc_id", "page_url", canonical_url_col(F.col("page_url")).alias("canon_url")
+    )
+
+
+def q_crawl_snapshot_diff(spark, sf_dir):
+    """Incremental re-crawl delta: two crawl generations (deterministic
+    subsets of documents, some with mutated content) full-outer-joined on
+    the page key comparing content hashes → added/removed/changed/unchanged
+    counts (operators.webgraph.snapshot_diff). The single-join shape is the
+    100-TB incremental-crawl primitive (bucketed by url_hash it is
+    shuffle-free); only added+changed re-enter the frontier."""
+    from upton_spark.operators.webgraph import snapshot_diff
+
+    docs = _docs_with_url(_t(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "url", F.md5("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "url",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("v2")).otherwise(F.lit("")),
+            )
+        ).alias("content_hash"),
+    )
+    diff = snapshot_diff(old, new)
+    return (
+        diff.groupBy("status")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("status")
+    )
+
+
+def q_crawl_budget(spark, sf_dir):
+    """Per-host crawl-budget allocation: proportional share of a global
+    fetch budget by host weight, integer floor-division (bit-stable across
+    engines), clamped to [floor, cap] (operators.webgraph.allocate_budget).
+    Feeds the politeness scheduler's per-round token budget."""
+    from upton_spark.operators.webgraph import allocate_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.groupBy(F.col("source").alias("host")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return allocate_budget(hosts, total_budget=600, floor=2, cap=50).orderBy("host")
+
+
+def q_sitemap_extract(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.org 0.9): per-source <urlset> bodies
+    synthesized as corpus captures (url = http://<source>/sitemap.xml),
+    then sources.sitemap.sitemap_urls extracts <loc> seed candidates fully
+    distributed (JVM regexp_extract_all + explode, dedup-latest per
+    capture). Oracle rebuilds the same XML per source with string_agg and
+    replays the extraction with DuckDB's regexp_extract_all."""
+    from upton_spark.sources.sitemap import sitemap_urls
+
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>http://"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc></url>"),
+    )
+    xml = (
+        docs.select("source", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    pages = xml.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/sitemap.xml")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("xml").cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    urls = sitemap_urls(pages)
+    return (
+        urls.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("first_url"),
+            F.max("url").alias("last_url"),
+        )
+        .orderBy("host")
+    )
+
+
 def q_crawl_lineage_politeness(spark, sf_dir):
     """Per-round crawl lineage under a 1-token/host politeness budget
     (reference sleep_time_between_requests, lib/upton.rb:96,220-223,
@@ -863,9 +997,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_jaccard_pairs": q_char_jaccard_pairs,
         "embedding_topk": q_embedding_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        # sources (WARC ingestion, robots-from-corpus)
+        # sources (WARC ingestion, robots-from-corpus, sitemaps)
         "warc_ingest": q_warc_ingest,
         "robots_from_pages": q_robots_from_pages,
+        "sitemap_extract": q_sitemap_extract,
+        # web-graph / crawl planning
+        "link_pagerank": q_link_pagerank,
+        "url_canonicalize": q_url_canonicalize,
+        "crawl_snapshot_diff": q_crawl_snapshot_diff,
+        "crawl_budget": q_crawl_budget,
         # rows-only (non-SQL-expressible)
         "minhash_near_dups": q_minhash_near_dups,
         "dup_clusters": q_dup_clusters,
@@ -1082,6 +1222,149 @@ def _lsh_bucket_cte(n_planes: int, extra_cols: str = "") -> str:
     """
 
 
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85, fanout: int = 3) -> str:
+    """PageRank unrolled as chained CTEs — same graph, same constants.
+
+    The teleport/damping constants are computed with the SAME Python float
+    arithmetic the Spark side uses (1.0-damping is NOT 0.15 exactly) and
+    shipped via CAST('<repr>' AS DOUBLE) so both engines run identical
+    IEEE operations; only per-dst summation order can differ (~1e-15,
+    absorbed by round 6)."""
+    teleport = repr(1.0 - damping)
+    d = repr(damping)
+    ks = ",".join(f"({k})" for k in range(fanout))
+    sql = f"""
+        WITH nodes AS (SELECT doc_id FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT d.doc_id AS src,
+                   (d.doc_id*d.doc_id + 7*k.k*d.doc_id + k.k + 1) % nn.n AS dst
+            FROM nodes d CROSS JOIN nn CROSS JOIN (VALUES {ks}) k(k)
+          ) WHERE src <> dst
+        ),
+        outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+        r{i} AS (
+          SELECT b.node,
+                 CAST('{teleport}' AS DOUBLE) + CAST('{d}' AS DOUBLE) * (
+                   coalesce(c.inflow, CAST(0 AS DOUBLE))
+                   + dg.dm / CAST(nn.n AS DOUBLE)
+                 ) AS rank
+          FROM (SELECT node FROM r{p}) b
+          LEFT JOIN (
+            SELECT e.dst AS cnode, SUM(r.rank / o.outdeg) AS inflow
+            FROM edges e JOIN r{p} r ON e.src = r.node
+                         JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) c ON c.cnode = b.node
+          CROSS JOIN (
+            SELECT coalesce(SUM(r.rank), CAST(0 AS DOUBLE)) AS dm
+            FROM r{p} r LEFT JOIN outdeg o ON r.node = o.src
+            WHERE o.src IS NULL
+          ) dg
+          CROSS JOIN nn
+        )"""
+    sql += f"""
+        SELECT node AS doc_id, round(rank, 6) AS rank FROM r{iters} ORDER BY doc_id
+    """
+    return sql
+
+
+_CANON_FILTER = (
+    "x -> x <> '' AND NOT starts_with(x,'utm_') AND NOT starts_with(x,'fbclid')"
+    " AND NOT starts_with(x,'gclid') AND NOT starts_with(x,'ref_src')"
+)
+
+_WEBGRAPH_ORACLES = {
+    "link_pagerank": None,  # filled lazily (generated)
+    "url_canonicalize": f"""
+        WITH u AS (
+          SELECT doc_id,
+                 'HTTP://' || upper(source) || ':80/Path' || CAST(doc_id % 3 AS VARCHAR)
+                   || '/page.html?utm_source=x&b=' || CAST(doc_id % 5 AS VARCHAR)
+                   || '&a=1#frag' AS page_url
+          FROM documents
+        ), p AS (
+          SELECT doc_id, page_url,
+                 lower(regexp_extract(page_url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 lower(regexp_extract(page_url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth0,
+                 regexp_extract(page_url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+                 regexp_extract(page_url, '\\?([^#]*)', 1) AS q
+          FROM u
+        ), c AS (
+          SELECT doc_id, page_url, scheme,
+                 CASE WHEN scheme = 'http'  THEN regexp_replace(auth0, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                      ELSE auth0 END AS auth,
+                 CASE WHEN path0 = '' THEN '/' ELSE path0 END AS pth,
+                 array_to_string(list_sort(list_filter(string_split(q, '&'), {_CANON_FILTER})), '&') AS sq
+          FROM p
+        )
+        SELECT doc_id, page_url,
+               scheme || '://' || auth || pth
+                 || CASE WHEN sq = '' THEN '' ELSE '?' || sq END AS canon_url
+        FROM c
+    """,
+    "crawl_snapshot_diff": """
+        WITH d AS (
+          SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+          FROM documents
+        ), old AS (
+          SELECT url, md5(text) AS old_hash FROM d WHERE doc_id % 7 <> 0
+        ), new AS (
+          SELECT url, md5(text || CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END) AS new_hash
+          FROM d WHERE doc_id % 5 <> 0
+        ), j AS (
+          SELECT CASE WHEN old_hash IS NULL THEN 'added'
+                      WHEN new_hash IS NULL THEN 'removed'
+                      WHEN old_hash <> new_hash THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old FULL OUTER JOIN new USING (url)
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY status ORDER BY status
+    """,
+    "crawl_budget": """
+        WITH h AS (
+          SELECT source AS host, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tw FROM h)
+        SELECT host, n_docs,
+               CAST((n_docs * 600) // tw AS BIGINT) AS share,
+               CAST(greatest(2, least(50, (n_docs * 600) // tw)) AS BIGINT) AS budget
+        FROM h CROSS JOIN t ORDER BY host
+    """,
+    "sitemap_extract": """
+        WITH e AS (
+          SELECT source,
+                 '<url><loc>http://' || source || '/' || CAST(doc_id AS VARCHAR)
+                   || '</loc></url>' AS entry
+          FROM documents
+        ), x AS (
+          SELECT source,
+                 '<urlset>' || string_agg(entry, '' ORDER BY entry) || '</urlset>' AS xml
+          FROM e GROUP BY source
+        ), l AS (
+          SELECT lower(source) AS host,
+                 unnest(regexp_extract_all(xml, '<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)) AS url
+          FROM x
+        ), du AS (SELECT DISTINCT host, url FROM l)
+        SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+               min(url) AS first_url, max(url) AS last_url
+        FROM du GROUP BY host ORDER BY host
+    """,
+}
+
+
+def _webgraph_oracles() -> dict[str, str]:
+    out = dict(_WEBGRAPH_ORACLES)
+    out["link_pagerank"] = _pagerank_oracle()
+    return out
+
+
 def _ivf_oracle() -> str | None:
     """IVF search oracle: the coarse quantizer is deterministic seeded
     numpy over the id-sorted sample, so the generator retrains the SAME
@@ -1272,6 +1555,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **_crawl_oracles(),
+        **_webgraph_oracles(),
         "url_md5": """
             SELECT doc_id,
                    source || '/' || CAST(doc_id AS VARCHAR) AS url,

@@ -150,6 +150,7 @@ HEADLINE_QUERIES = [
     "embedding_topk",
     "embedding_lsh_buckets",
     "fingerprint_rolling",
+    "link_pagerank",
 ]
 
 

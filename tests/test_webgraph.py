@@ -1,0 +1,165 @@
+"""Web-graph / crawl-planning operator tests: PageRank vs a numpy power
+iteration, canonical-URL cases, snapshot diff, budget allocation, sitemap
+extraction (incl. one sitemapindex indirection and dedup-latest).
+
+Reference parity note: the reference crawls one site with a fixed seed
+list (lib/upton.rb:65-114) — these operators are the frontier-PLANNING
+layer a web-scale deployment adds (what to fetch next, at what rate, and
+which aliases are the same page)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from upton_spark.operators.webgraph import (
+    allocate_budget,
+    canonical_url_col,
+    pagerank,
+    snapshot_diff,
+    synth_link_graph,
+)
+from upton_spark.sources.sitemap import sitemap_urls
+
+
+def _canon(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(canonical_url_col(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+
+
+@pytest.mark.parametrize(
+    "url,expect",
+    [
+        # lower scheme+host, default port stripped, fragment dropped
+        ("HTTP://Example.COM:80/Path/a.html#frag", "http://example.com/Path/a.html"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        # non-default ports survive; :8080 is NOT ':80'-suffixed
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # path case preserved (distinct resources), empty path -> '/'
+        ("http://example.com", "http://example.com/"),
+        # tracking params stripped, remainder sorted, empty query dropped
+        (
+            "http://a.com/p?utm_source=tw&b=2&a=1&utm_medium=x",
+            "http://a.com/p?a=1&b=2",
+        ),
+        ("http://a.com/p?utm_source=tw", "http://a.com/p"),
+        ("http://a.com/p?fbclid=abc&z=1&gclid=2&ref_src=t", "http://a.com/p?z=1"),
+        # plain url unchanged
+        ("http://a.com/p?a=1", "http://a.com/p?a=1"),
+    ],
+)
+def test_canonical_url_cases(spark, url, expect):
+    assert _canon(spark, url) == expect
+
+
+def _numpy_pagerank(n, edges, iters=5, d=0.85):
+    """Textbook N-scaled power iteration with uniform dangling
+    redistribution — the independent model pagerank() must match."""
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[s] += 1
+    r = np.ones(n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, t in edges:
+            nxt[t] += r[s] / out[s]
+        dangling = r[out == 0].sum()
+        r = (1.0 - d) + d * (nxt + dangling / n)
+    return r
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # graph with a hub, a chain, and a dangling node (3 has no outlinks)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2)]
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in pagerank(nodes, edf, iters=5, damping=0.85).collect()
+    }
+    want = _numpy_pagerank(n, edges)
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-12)
+    # total rank mass is conserved (sums to N)
+    assert sum(got.values()) == pytest.approx(n, abs=1e-9)
+
+
+def test_synth_link_graph_is_deterministic_and_self_loop_free(spark):
+    docs = spark.range(20).select(F.col("id").alias("doc_id"))
+    e1 = sorted(map(tuple, synth_link_graph(docs).collect()))
+    e2 = sorted(map(tuple, synth_link_graph(docs).collect()))
+    assert e1 == e2
+    assert all(s != t for s, t in e1)
+    assert all(0 <= t < 20 for _, t in e1)
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2"), ("u3", "h3")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "h2"), ("u3", "h3x"), ("u4", "h4")], "url string, content_hash string"
+    )
+    got = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "removed",
+        "u2": "unchanged",
+        "u3": "changed",
+        "u4": "added",
+    }
+
+
+def test_allocate_budget_clamps_and_proportions(spark):
+    hosts = spark.createDataFrame(
+        [("big", 900), ("mid", 90), ("tiny", 10)], "host string, n_docs long"
+    )
+    rows = {
+        r["host"]: r
+        for r in allocate_budget(hosts, total_budget=100, floor=2, cap=50).collect()
+    }
+    assert rows["big"]["share"] == 90 and rows["big"]["budget"] == 50  # capped
+    assert rows["mid"]["share"] == 9 and rows["mid"]["budget"] == 9
+    assert rows["tiny"]["share"] == 1 and rows["tiny"]["budget"] == 2  # floored
+
+
+def _page(url, ts, body):
+    return (url, ts, body.encode(), None, None)
+
+
+def test_sitemap_urls_extracts_resolves_index_and_dedups_latest(spark):
+    t0 = datetime(2024, 1, 1)
+    t1 = datetime(2024, 6, 1)
+    xml_old = "<urlset><url><loc>http://a.com/old</loc></url></urlset>"
+    xml_new = (
+        "<urlset><url><loc> http://a.com/p1 </loc></url>"
+        "<url><loc>http://a.com/p2</loc></url></urlset>"
+    )
+    # b.com publishes a sitemapindex pointing at a child sitemap capture
+    xml_index = (
+        "<sitemapindex><sitemap><loc>http://b.com/sm/child.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    xml_child = "<urlset><url><loc>http://b.com/deep</loc></url></urlset>"
+    pages = spark.createDataFrame(
+        [
+            _page("http://a.com/sitemap.xml", t0, xml_old),
+            _page("http://a.com/sitemap.xml", t1, xml_new),  # latest wins
+            _page("http://b.com/sitemap.xml", t0, xml_index),
+            _page("http://b.com/sm/child.xml", t0, xml_child),
+            _page("http://a.com/not-a-sitemap.html", t0, "<p>hi</p>"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = sorted(map(tuple, sitemap_urls(pages).collect()))
+    assert got == [
+        ("a.com", "http://a.com/p1"),
+        ("a.com", "http://a.com/p2"),
+        ("b.com", "http://b.com/deep"),
+    ]

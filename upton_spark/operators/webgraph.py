@@ -1,0 +1,226 @@
+"""Web-graph / crawl-planning operators: PageRank, re-crawl deltas,
+crawl-budget allocation, aggressive URL canonicalization.
+
+These are the frontier-PLANNING side of a web-scale crawl (the reference
+only walks one site; a 10^10-URL crawl has to decide WHAT to fetch next):
+link-graph PageRank scores hosts/pages for scheduling priority, the
+snapshot diff turns two crawl generations into an incremental re-crawl
+list, the budget allocator turns host statistics into per-host fetch
+quotas, and the canonicalizer collapses URL aliases before they enter the
+frontier (the seen-set dedups the canonical form).
+
+Everything is built-in-expression / join work — whole-stage codegen, no
+Python in the hot path — and every operator is replayable in ANSI SQL, so
+each carries a full DuckDB oracle in ``__spark_entry__``.
+
+Scale shape:
+- ``pagerank``: the classic join-agg iteration (contribution = rank /
+  out-degree, shuffled by dst, teleport added map-side). Each iteration is
+  one shuffle on the edge list; ranks are checkpointed per iteration so
+  the plan stays shallow at any iteration count. AQE handles skewed
+  in-degree (hub pages).
+- ``snapshot_diff``: one full-outer join on the page key with content
+  hashes — the standard incremental-crawl shape; at 100 TB both sides are
+  bucketed by url_hash so the join is shuffle-free.
+- ``allocate_budget``: pure per-row arithmetic over the (tiny) host
+  aggregate; integer math so the quota is bit-stable across engines.
+- ``canonical_url_col``: regexp + array expressions, fully codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+# query params that never identify a distinct resource (analytics noise)
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid", "ref_src")
+
+
+def canonical_url_col(url: Column) -> Column:
+    """Aggressive canonical URL, entirely in built-in expressions:
+    lower-case scheme and authority, default port stripped, fragment
+    dropped, tracking params (utm_*, fbclid, gclid, ref_src) removed,
+    remaining query params sorted, empty path normalized to '/'.
+
+    This is the FRONTIER key (alias collapse before dedup); the
+    conservative :func:`upton_spark.urlkit.canonicalize` remains the stash
+    key, matching the reference's raw-URL MD5 stash
+    (lib/upton/downloader.rb:126-128).
+    """
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    authority = F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    authority = (
+        F.when(scheme == "http", F.regexp_replace(authority, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(authority, ":443$", ""))
+        .otherwise(authority)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~p.startswith("fbclid")
+        & ~p.startswith("gclid")
+        & ~p.startswith("ref_src"),
+    )
+    sorted_q = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
+# --------------------------------------------------------------------------
+# link-graph PageRank
+# --------------------------------------------------------------------------
+
+
+def synth_link_graph(docs: DataFrame, fanout: int = 3) -> DataFrame:
+    """Deterministic synthetic link graph over ``documents`` (tests/bench:
+    no external data allowed): doc ``d`` links to
+    ``(d*d + 7kd + k + 1) mod N`` for k in 0..fanout-1, self-loops
+    removed, deduped. The quadratic map is deliberately NON-bijective so
+    in-degrees are skewed (hubs + orphan nodes) and PageRank has real
+    structure to find; pure integer arithmetic so the oracle reproduces
+    the edge list exactly. Returns (src, dst)."""
+    n = docs.count()
+    ks = F.explode(F.array(*[F.lit(k) for k in range(fanout)])).alias("k")
+    dst = (
+        F.col("src") * F.col("src") + F.lit(7) * F.col("k") * F.col("src") + F.col("k") + 1
+    ) % F.lit(n)
+    return (
+        docs.select(F.col("doc_id").alias("src"), ks)
+        .withColumn("dst", dst)
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank as pure DataFrame joins/aggregations.
+
+    ``nodes`` must have ``doc_id``; ``edges`` (src, dst). Ranks are
+    N-scaled (mean 1.0) so cross-engine float noise sits ~1e-13 below any
+    reasonable rounding. Per iteration: one shuffle (contributions grouped
+    by dst) + a join back to the node list; ranks are localCheckpoint()ed
+    so plan depth stays O(1) per iteration, not cumulative. Dangling mass
+    is redistributed uniformly (the standard stochastic fix), so total
+    rank stays N and the result matches the textbook power iteration.
+    """
+    n = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # edge list with per-src degree is reused every iteration: materialize once
+    ed = edges.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.select(F.col("doc_id").alias("node")).withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no outlinks) donate their rank uniformly
+        dangling = ranks.join(
+            outdeg, ranks.node == outdeg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+        base = ranks.select("node")
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("d") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("node").alias("doc_id"), "rank")
+
+
+# --------------------------------------------------------------------------
+# re-crawl snapshot diff
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "url", content: str = "content_hash"
+) -> DataFrame:
+    """Two crawl generations → per-page status (added / removed / changed /
+    unchanged): ONE full-outer join on the page key comparing content
+    hashes — the incremental-crawl primitive (re-fetch only
+    added+changed). At scale both snapshots are bucketed by the key hash,
+    making this join shuffle-free; the output feeds the next frontier."""
+    o = old.select(F.col(key).alias("k"), F.col(content).alias("old_hash"))
+    nw = new.select(F.col(key).alias("k"), F.col(content).alias("new_hash"))
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(nw, "k", "full_outer").select(
+        F.col("k").alias(key), status.alias("status")
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl-budget allocation
+# --------------------------------------------------------------------------
+
+
+def allocate_budget(
+    host_stats: DataFrame,
+    total_budget: int,
+    floor: int = 2,
+    cap: int = 50,
+    host_col: str = "host",
+    weight_col: str = "n_docs",
+) -> DataFrame:
+    """Per-host fetch quota from host weights: proportional share of
+    ``total_budget`` (integer floor-division — bit-stable across engines),
+    clamped to [floor, cap]. The politeness scheduler consumes the quota
+    as its per-round token budget; proportional-by-size with a floor is
+    the standard revisit policy (big hosts get more slots, every known
+    host keeps a heartbeat). Adds ``share`` (pre-clamp) for audit."""
+    total_w = host_stats.agg(F.sum(weight_col).cast("long").alias("tw"))
+    return (
+        host_stats.crossJoin(F.broadcast(total_w))
+        .select(
+            host_col,
+            F.col(weight_col),
+            (F.col(weight_col).cast("long") * F.lit(int(total_budget)))
+            .cast("long")
+            .alias("_num"),
+            F.col("tw"),
+        )
+        .withColumn("share", F.expr("div(_num, tw)"))
+        .withColumn(
+            "budget",
+            F.greatest(
+                F.lit(int(floor)).cast("long"),
+                F.least(F.lit(int(cap)).cast("long"), F.col("share")),
+            ),
+        )
+        .drop("_num", "tw")
+    )

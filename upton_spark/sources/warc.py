@@ -123,9 +123,20 @@ def read_warc(spark: SparkSession, paths: str | list[str], tasks: int | None = N
     file_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n, "path")
 
     def parse(batches):
+        # chunked emission keeps the per-task high-water mark at
+        # ``chunk`` records regardless of archive size (a 1 GB .warc.gz
+        # must not become one giant Arrow batch)
+        chunk = 256
         for pdf in batches:
             for path in pdf["path"]:
-                rows = list(pages_rows_from_warc(path))
+                rows: list[tuple] = []
+                for row in pages_rows_from_warc(path):
+                    rows.append(row)
+                    if len(rows) >= chunk:
+                        yield pd.DataFrame(
+                            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                        )
+                        rows = []
                 if rows:
                     yield pd.DataFrame(
                         rows, columns=["url", "warc_ts", "html", "text", "lang"]
