@@ -425,6 +425,36 @@ def q_exact_dup_groups(spark, sf_dir):
     )
 
 
+# rates for the stratified-sampling contract query; the oracle SQL is
+# generated from this same dict so there is one source of truth.
+_SAMPLE_RATES = {"de": 0.25, "en": 0.5, "es": 0.0, "fr": 0.1, "zh": 1.0}
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing >= 1 exact 5-token
+    shingle with a held-out "benchmark" slice (doc_id % 7 == 0), with the
+    doc's shingle-overlap fraction. Oracle: the shared shingle CTE chain
+    (same as MinHash), exploded and joined corpus x benchmark. Scale shape:
+    benchmark shingles broadcast; corpus never shuffles."""
+    from upton_spark.operators.dedup_docs import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return contamination_pairs(corpus, bench, k=5)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-bucket stratified sampling audit: per-language
+    keep rates applied via a pure integer key hash (reproducible across
+    partitioning/engines — unlike df.sample), reported as per-stratum
+    total/kept/realized-rate."""
+    from upton_spark.operators.sampling import mixing_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixing_report(docs, _SAMPLE_RATES, strata_col="lang", key_col="doc_id")
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + punctuation quality features (all codegen)."""
     docs = _t(spark, sf_dir, "documents")
@@ -991,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
+        "benchmark_contamination": q_benchmark_contamination,
+        "stratified_sample": q_stratified_sample,
         "token_stats": q_token_stats,
         "lang_distribution": q_lang_distribution,
         "fingerprint_md5": q_fingerprint_md5,
@@ -1039,18 +1071,21 @@ def _hugeint_list(vals) -> str:
     return "[" + ",".join(f"CAST('{int(v)}' AS HUGEINT)" for v in vals) + "]"
 
 
-def _minhash_oracle() -> str:
-    from upton_spark.operators.dedup_docs import _SHINGLE_C, _minhash_params
+def _shingle_ctes(src: str = "documents") -> str:
+    """The engine's k=5 shingle chain (md5_number_lower >> 2 token hashes,
+    uint64-wraparound sliding combine, distinct) as a reusable CTE fragment
+    ending in ``sh(doc_id, sh HUGEINT[])`` — shared by the MinHash,
+    dup-cluster, and contamination oracles so every shingle consumer
+    replays ONE chain."""
+    from upton_spark.operators.dedup_docs import _SHINGLE_C
 
-    a, b = _minhash_params(64)
     cpl = _hugeint_list(pow(int(_SHINGLE_C), j, 1 << 64) for j in range(6))
-    return f"""
-        WITH c AS (SELECT {_hugeint_list(a)} AS ca, {_hugeint_list(b)} AS cb, {cpl} AS cp),
+    return f"""cp_c AS (SELECT {cpl} AS cp),
         t AS (
           SELECT doc_id,
                  CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
                       ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
-          FROM documents
+          FROM {src}
         ), th AS (
           SELECT doc_id, list_transform(toks, w -> CAST(md5_number_lower(w) >> 2 AS HUGEINT)) AS h,
                  len(toks) AS n
@@ -1064,8 +1099,18 @@ def _minhash_oracle() -> str:
               list_distinct(list_transform(range(1, n - 3), i ->
                 coalesce(list_sum(list_transform(range(0, 5), j -> (h[i+j] * cp[j+1]) % {_T64})), 0) % {_T64}))
             END AS sh
-          FROM th, c
-        ), sig AS (
+          FROM th, cp_c
+        )"""
+
+
+def _minhash_oracle() -> str:
+    from upton_spark.operators.dedup_docs import _minhash_params
+
+    a, b = _minhash_params(64)
+    return f"""
+        WITH {_shingle_ctes()},
+        c AS (SELECT {_hugeint_list(a)} AS ca, {_hugeint_list(b)} AS cb),
+        sig AS (
           SELECT doc_id, list_transform(range(0, 64), p ->
                CAST(list_aggregate(list_transform(sh, x -> ((ca[p+1] * x) % {_T64} + cb[p+1]) % {_T64} % {_MERS}), 'min') AS BIGINT)) AS sig
           FROM sh, c
@@ -1104,6 +1149,49 @@ def _dup_clusters_oracle() -> str:
         SELECT CAST(x AS BIGINT) AS doc_id,
                CAST(least(x, min(y)) AS BIGINT) AS component
         FROM reach GROUP BY x ORDER BY doc_id
+    """
+
+
+def _contamination_oracle() -> str:
+    """Replay of contamination_pairs: the SAME shingle CTE chain as the
+    MinHash oracle, exploded to (doc_id, shingle) and joined corpus x
+    benchmark (doc_id % 7 split) — exact n-gram collision counts."""
+    return f"""
+        WITH {_shingle_ctes()},
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        b AS (SELECT doc_id AS bench_id, shingle FROM ex WHERE doc_id % 7 = 0),
+        cc AS (SELECT doc_id, shingle FROM ex WHERE doc_id % 7 <> 0),
+        hits AS (
+          SELECT cc.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM cc JOIN b USING (shingle) GROUP BY cc.doc_id, b.bench_id
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cc GROUP BY doc_id)
+        SELECT doc_id, bench_id, n_shared, n_shingles,
+               round(CAST(n_shared AS DOUBLE) / n_shingles, 4) AS overlap
+        FROM hits JOIN sizes USING (doc_id)
+    """
+
+
+def _stratified_sample_oracle() -> str:
+    """Generated from the SAME rates dict the Spark query uses: the
+    keep/drop decision is pure int64 arithmetic on doc_id, so the replay
+    is bit-exact (thresholds resolve to integers once, driver-side)."""
+    from upton_spark.operators.sampling import _BUCKETS, _MULT, _OFFSET
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(float(r) * _BUCKETS))}"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        WITH kept AS (
+          SELECT lang FROM documents
+          WHERE (doc_id * {_MULT} + {_OFFSET}) % {_BUCKETS} < CASE lang {cases} ELSE 0 END
+        ),
+        totals AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY lang),
+        k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang)
+        SELECT t.lang, n_total, CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+               round(CAST(coalesce(n_kept, 0) AS DOUBLE) / n_total, 4) AS realized_rate
+        FROM totals t LEFT JOIN k ON t.lang = k.lang
     """
 
 
@@ -1853,6 +1941,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_near_dups": _minhash_oracle(),
         "dup_clusters": _dup_clusters_oracle(),
+        "benchmark_contamination": _contamination_oracle(),
+        "stratified_sample": _stratified_sample_oracle(),
         "simhash": _simhash_oracle(),
         "language_id": _language_id_oracle(),
         "fingerprint_rolling": _fingerprint_oracle(),

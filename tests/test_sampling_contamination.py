@@ -1,0 +1,142 @@
+"""Deterministic stratified sampling + benchmark decontamination.
+
+The sampling property under test is REPRODUCIBILITY: the keep/drop
+decision is a pure integer function of the key, so the sample is identical
+under repartitioning (unlike ``df.sample``, which is seeded per-partition).
+Contamination is the standard exact n-gram collision check against a small
+benchmark set; correctness is pinned on hand-built documents with known
+shared 5-token windows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from upton_spark.operators.dedup_docs import contamination_pairs, shingle_table
+from upton_spark.operators.sampling import (
+    _BUCKETS,
+    _MULT,
+    _OFFSET,
+    mixing_report,
+    sample_bucket_col,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=i, lang=["en", "de", "zh"][i % 3], text=f"doc number {i} body text")
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows).cache()
+
+
+class TestStratifiedSample:
+    def test_rate_one_keeps_all_rate_zero_drops_all(self, docs):
+        kept = stratified_sample(docs, {"en": 1.0, "de": 0.0, "zh": 0.0})
+        langs = [r["lang"] for r in kept.select("lang").distinct().collect()]
+        assert langs == ["en"]
+        assert kept.count() == docs.filter("lang = 'en'").count()
+
+    def test_sample_is_invariant_under_repartition(self, docs):
+        rates = {"en": 0.4, "de": 0.7, "zh": 0.15}
+        a = sorted(r["doc_id"] for r in stratified_sample(docs, rates).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample(docs.repartition(13, "lang"), rates).collect()
+        )
+        assert a == b and 0 < len(a) < 300
+
+    def test_decision_matches_python_arithmetic(self, docs):
+        # the engine-side decision is exactly (k*MULT+OFFSET) % BUCKETS —
+        # auditable per doc ("why is doc X in the sample?")
+        rates = {"en": 0.3, "de": 0.3, "zh": 0.3}
+        kept = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+        expect = {
+            i for i in range(300) if (i * _MULT + _OFFSET) % _BUCKETS < 3000
+        }
+        assert kept == expect
+
+    def test_default_rate_applies_to_unlisted_strata(self, docs):
+        kept = stratified_sample(docs, {"en": 1.0}, default_rate=1.0)
+        assert kept.count() == 300
+        kept0 = stratified_sample(docs, {"en": 1.0}, default_rate=0.0)
+        assert kept0.count() == docs.filter("lang = 'en'").count()
+
+    def test_mixing_report_counts_and_zero_stratum(self, docs):
+        rep = {
+            r["lang"]: r
+            for r in mixing_report(docs, {"en": 1.0, "de": 0.5, "zh": 0.0}).collect()
+        }
+        assert rep["en"]["n_kept"] == rep["en"]["n_total"]
+        assert rep["en"]["realized_rate"] == 1.0
+        assert rep["zh"]["n_kept"] == 0 and rep["zh"]["realized_rate"] == 0.0
+        assert 0 < rep["de"]["n_kept"] < rep["de"]["n_total"]
+
+    def test_bucket_col_range(self, docs):
+        mn, mx = (
+            docs.select(
+                F.min(sample_bucket_col(F.col("doc_id"))),
+                F.max(sample_bucket_col(F.col("doc_id"))),
+            )
+            .first()
+        )
+        assert 0 <= mn and mx < _BUCKETS
+
+
+class TestContamination:
+    @pytest.fixture(scope="class")
+    def corpus_and_bench(self, spark):
+        bench_text = "alpha beta gamma delta epsilon zeta eta"
+        corpus = spark.createDataFrame(
+            [
+                # contains the bench 5-window "alpha beta gamma delta epsilon"
+                Row(doc_id=1, text="intro words alpha beta gamma delta epsilon outro"),
+                # exact copy of the benchmark item -> overlap 1.0
+                Row(doc_id=2, text=bench_text),
+                # no shared 5-token window
+                Row(doc_id=3, text="one two three four five six seven eight"),
+            ]
+        )
+        bench = spark.createDataFrame([Row(doc_id=100, text=bench_text)])
+        return corpus, bench
+
+    def test_known_overlaps(self, corpus_and_bench):
+        corpus, bench = corpus_and_bench
+        out = {
+            r["doc_id"]: r
+            for r in contamination_pairs(corpus, bench, k=5).collect()
+        }
+        assert set(out) == {1, 2}
+        # doc 1: 8 tokens -> 4 shingles, exactly 1 shared (the bench window)
+        assert out[1]["bench_id"] == 100
+        assert out[1]["n_shared"] == 1 and out[1]["n_shingles"] == 4
+        assert out[1]["overlap"] == 0.25
+        # doc 2 is an exact copy: all 3 of its shingles shared
+        assert out[2]["n_shared"] == out[2]["n_shingles"] == 3
+        assert out[2]["overlap"] == 1.0
+
+    def test_short_docs_use_whole_doc_shingle(self, spark):
+        # < k tokens: the whole doc is one length-salted shingle, so exact
+        # short-text matches are still caught
+        corpus = spark.createDataFrame(
+            [Row(doc_id=1, text="tiny doc"), Row(doc_id=2, text="other thing")]
+        )
+        bench = spark.createDataFrame([Row(doc_id=9, text="tiny doc")])
+        out = contamination_pairs(corpus, bench, k=5).collect()
+        assert len(out) == 1
+        assert out[0]["doc_id"] == 1 and out[0]["overlap"] == 1.0
+
+    def test_shingle_table_is_distinct_per_key(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a b a b a b a b a b a b")]  # repeating windows
+        )
+        st = shingle_table(df, k=5)
+        assert st.count() == st.distinct().count()
+
+    def test_plan_broadcasts_benchmark_side(self, corpus_and_bench):
+        corpus, bench = corpus_and_bench
+        plan = contamination_pairs(corpus, bench, k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

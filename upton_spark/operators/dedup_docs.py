@@ -343,3 +343,69 @@ def duplicate_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(key, shingle) — the document's DISTINCT k-token shingle hashes,
+    exploded to one row each. Same hash chain as MinHash (md5 token hashes
+    >> 2, uint64 sliding combine — see _shingle_hashes), stored as the
+    int64 wraparound cast; equality joins are preserved under the cast, so
+    a DuckDB oracle can replay collision COUNTS in HUGEINT without
+    converting."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series(
+            [_shingle_hashes(t, k, cache).astype(np.int64).tolist() for t in text]
+        )
+
+    return df.select(
+        F.col(key_col).alias("key"), F.explode(sh(F.col(text_col))).alias("shingle")
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: which corpus docs share >= 1 exact
+    k-token shingle with a benchmark item, and what fraction of the doc's
+    shingles that overlap covers — the standard pre-training contamination
+    check (exact n-gram collision, the conservative first pass before any
+    fuzzy matching).
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets are
+    10^3-10^5 items), so its shingle table broadcasts and the 100-TB corpus
+    streams through a broadcast hash join — no corpus shuffle. Collision
+    counting is a groupBy on the (sparse) matched pairs only, proportional
+    to true contamination density, never |corpus| x |benchmark|.
+
+    Returns (doc_id, bench_id, n_shared, n_shingles, overlap)."""
+    c = shingle_table(corpus, text_col, key_col, k).withColumnRenamed("key", "doc_id")
+    b = shingle_table(benchmark, text_col, key_col, k).withColumnRenamed(
+        "key", "bench_id"
+    )
+    hits = (
+        c.join(F.broadcast(b), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sizes = c.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("overlap"),
+    )

@@ -1,0 +1,85 @@
+"""Deterministic corpus sampling / mixing for training-data pipelines.
+
+A 100-TB pre-training pipeline samples and re-weights its corpus
+constantly (per-language rates, per-source mixing weights), and the
+sampling must be REPRODUCIBLE: the same doc keeps or drops regardless of
+partitioning, retries, cluster size, or engine (``df.sample`` is none of
+those — it's seeded per-partition, so a repartition changes the sample).
+Hash-based sampling fixes this: the keep/drop decision is a pure integer
+function of the document key, identical on Spark and in the DuckDB
+oracle, stable under resume/backfill, and trivially invertible for audits
+("why is doc X in the sample?").
+
+Everything is built-in integer arithmetic — whole-stage codegen, no UDFs,
+no RNG state — and exact (no floats), so the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Knuth multiplicative constant + a prime offset; the bucket space is
+# 10^4, so rates have 0.01% resolution. All intermediates fit int64 for
+# any int key < ~3.5e9 (doc ids); string keys hash first (xxhash64) —
+# that variant has no cross-engine oracle and is for engine-side use.
+_MULT = 2654435761
+_OFFSET = 104729
+_BUCKETS = 10_000
+
+
+def sample_bucket_col(key: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from an integer key — the
+    keep/drop decision is ``bucket < rate * 10000``."""
+    return (key.cast("long") * _MULT + _OFFSET) % _BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its key's bucket falls under its stratum's rate —
+    e.g. ``rates={"en": 0.5, "zh": 1.0}`` keeps ~50% of English and all
+    Chinese docs, deterministically. One codegen'd filter, no shuffle; a
+    repartition, resume, or engine swap yields the SAME sample."""
+    bucket = sample_bucket_col(F.col(key_col))
+    # thresholds resolve to exact integers DRIVER-side: 0.3*10000 is
+    # 2999.9999999999995 in IEEE — casting that per-row would keep/drop
+    # differently than a decimal engine. int(round()) once, here, is the
+    # single source of truth both engines compare against.
+    thr = F.lit(int(round(float(default_rate) * _BUCKETS)))
+    for stratum, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(float(r) * _BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def mixing_report(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Audit view of a stratified sample: per stratum, total rows, kept
+    rows, and the realized rate (vs the requested one). The realized rate
+    converges to the requested rate at corpus scale; at small N the exact
+    hash decision is still reproducible — which is the property under
+    test."""
+    kept = stratified_sample(df, rates, strata_col, key_col, default_rate)
+    totals = df.groupBy(strata_col).agg(F.count("*").cast("long").alias("n_total"))
+    kept_n = kept.groupBy(strata_col).agg(F.count("*").cast("long").alias("n_kept"))
+    return (
+        totals.join(kept_n, strata_col, "left")
+        .select(
+            strata_col,
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4
+            ).alias("realized_rate"),
+        )
+    )
