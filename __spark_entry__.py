@@ -455,6 +455,15 @@ def q_stratified_sample(spark, sf_dir):
     return mixing_report(docs, _SAMPLE_RATES, strata_col="lang", key_col="doc_id")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality filter: type-token ratio, top-token
+    and top-bigram fractions, repetitive flag — per-row higher-order
+    expressions only (no shuffle, no UDF)."""
+    from upton_spark.operators.textops import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_token_stats(spark, sf_dir):
     """Token counting + punctuation quality features (all codegen)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1023,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
         "token_stats": q_token_stats,
         "lang_distribution": q_lang_distribution,
         "fingerprint_md5": q_fingerprint_md5,
@@ -1943,6 +1953,40 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _dup_clusters_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "stratified_sample": _stratified_sample_oracle(),
+        "repetition_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                          ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+                CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS bg
+              FROM t
+            ), m AS (
+              SELECT doc_id, n, nd,
+                CASE WHEN n = 0 THEN 0
+                     ELSE list_max(list_transform(list_distinct(toks),
+                            t -> len(list_filter(toks, x -> x = t)))) END AS top_tok,
+                CASE WHEN n < 2 THEN 0
+                     ELSE list_max(list_transform(list_distinct(bg),
+                            t -> len(list_filter(bg, x -> x = t)))) END AS top_bg
+              FROM s
+            ), r AS (
+              SELECT doc_id, n,
+                CASE WHEN n = 0 THEN 0.0 ELSE nd / CAST(n AS DOUBLE) END AS dr,
+                CASE WHEN n = 0 THEN 0.0 ELSE top_tok / CAST(n AS DOUBLE) END AS tt,
+                CASE WHEN n < 2 THEN 0.0 ELSE top_bg / CAST(n - 1 AS DOUBLE) END AS tb
+              FROM m
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(dr, 4) AS distinct_ratio,
+                   round(tt, 4) AS top_token_frac,
+                   round(tb, 4) AS top_bigram_frac,
+                   CAST(n > 0 AND (dr < 0.40 OR tt > 0.12 OR tb > 0.10) AS INT) AS repetitive
+            FROM r
+        """,
         "simhash": _simhash_oracle(),
         "language_id": _language_id_oracle(),
         "fingerprint_rolling": _fingerprint_oracle(),

@@ -140,3 +140,40 @@ class TestContamination:
         corpus, bench = corpus_and_bench
         plan = contamination_pairs(corpus, bench, k=5)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestRepetitionStats:
+    def test_hand_computed_repetition(self, spark):
+        from upton_spark.operators.textops import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="a a a b"),  # heavy repetition
+                Row(doc_id=2, text="w x y z"),  # all distinct
+                Row(doc_id=3, text=""),  # empty
+                Row(doc_id=4, text="solo"),  # single token, no bigram
+            ]
+        )
+        out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        r1 = out[1]
+        # 4 tokens, 2 distinct; top token 'a' x3; bigrams [aa, aa, ab] -> top 2/3
+        assert r1["n_tokens"] == 4 and r1["distinct_ratio"] == 0.5
+        assert r1["top_token_frac"] == 0.75
+        assert r1["top_bigram_frac"] == round(2 / 3, 4)
+        assert r1["repetitive"] == 1
+        r2 = out[2]
+        assert r2["distinct_ratio"] == 1.0 and r2["top_token_frac"] == 0.25
+        assert r2["repetitive"] == 1  # top_token_frac 0.25 > 0.12
+        assert out[3]["n_tokens"] == 0 and out[3]["repetitive"] == 0
+        r4 = out[4]
+        assert r4["n_tokens"] == 1 and r4["top_bigram_frac"] == 0.0
+        # single token: top_token_frac 1.0 -> flagged
+        assert r4["repetitive"] == 1
+
+    def test_no_shuffle_no_python_in_plan(self, spark):
+        from upton_spark.operators.textops import repetition_stats
+
+        df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+        plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # map-only: one pass over the corpus
+        assert "Python" not in plan  # higher-order expressions, no UDF

@@ -106,3 +106,83 @@ def fingerprint(df: DataFrame, text_col: str = "text", window: int = 8) -> DataF
         return pd.Series(out, dtype="int64")
 
     return df.withColumn("fingerprint", fp(F.col(text_col)))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    max_top_token_frac: float = 0.12,
+    max_top_bigram_frac: float = 0.10,
+    min_distinct_ratio: float = 0.40,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality filter, fully JVM-side.
+
+    Per document: type-token ratio, most-frequent-token fraction, and
+    most-frequent-bigram fraction, plus a ``repetitive`` flag from the
+    thresholds (defaults chosen to split a webtext corpus non-trivially;
+    the Gopher paper's rule family — "fraction of characters in the most
+    common n-gram" — applied at token granularity).
+
+    Scale shape: per-row higher-order expressions only (transform/filter/
+    array_distinct over the doc's own tokens) — no shuffle, no UDF; the
+    per-doc cost is O(n_tokens * n_distinct), bounded because real
+    documents cap n_distinct far below n_tokens. A 100-TB corpus maps one
+    pass, and Catalyst prunes to (doc_id, text)."""
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    d = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    n = F.col("_n")
+    nd = F.col("_nd")
+    # max frequency over distinct tokens: count occurrences via filter()
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct("_toks"),
+            lambda t: F.size(F.filter("_toks", lambda x: x == t)),
+        )
+    )
+    bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat(
+                F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)
+            ),
+        )
+    )
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct("_bigrams"),
+            lambda t: F.size(F.filter("_bigrams", lambda x: x == t)),
+        )
+    )
+    d = (
+        d.withColumn("_nd", F.size(F.array_distinct("_toks")))
+        .withColumn("_bigrams", bigrams)
+        .withColumn("_top_tok", F.when(n == 0, F.lit(0)).otherwise(top_tok))
+        .withColumn(
+            "_top_bigram", F.when(n < 2, F.lit(0)).otherwise(top_bigram)
+        )
+    )
+    distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(nd / n)
+    top_token_frac = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_top_tok") / n)
+    top_bigram_frac = F.when(n < 2, F.lit(0.0)).otherwise(
+        F.col("_top_bigram") / (n - 1)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(top_token_frac, 4).alias("top_token_frac"),
+        F.round(top_bigram_frac, 4).alias("top_bigram_frac"),
+        (
+            (n > 0)  # emptiness is a length rule's concern, not repetition's
+            & (
+                (distinct_ratio < F.lit(min_distinct_ratio))
+                | (top_token_frac > F.lit(max_top_token_frac))
+                | (top_bigram_frac > F.lit(max_top_bigram_frac))
+            )
+        )
+        .cast("int")  # int 0/1: engine-neutral for cross-engine hashing
+        .alias("repetitive"),
+    )
