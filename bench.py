@@ -151,6 +151,8 @@ HEADLINE_QUERIES = [
     "embedding_lsh_buckets",
     "fingerprint_rolling",
     "link_pagerank",
+    "benchmark_contamination",
+    "repetition_stats",
 ]
 
 
