@@ -429,7 +429,7 @@ class Crawler:
         self,
         small: DataFrame,
         url_col: str = "url",
-        prune_files: bool = False,
+        prune_files: bool | list[str] = False,
         pages_override: DataFrame | None = None,
     ) -> DataFrame:
         """small ⟕ pages on url, without ever shuffling the corpus.
@@ -452,7 +452,11 @@ class Crawler:
             if url_col != "url":
                 pl = pl.withColumnRenamed("url", url_col)
         elif prune_files:
-            pl = self._pruned_pages(small.select(url_col).distinct(), url_col)
+            pl = self._pruned_pages(
+                small.select(url_col).distinct(),
+                url_col,
+                key_urls=prune_files if isinstance(prune_files, list) else None,
+            )
             if pl is not None and url_col != "url":
                 pl = pl.withColumnRenamed("url", url_col)
         if pl is None:
@@ -631,16 +635,57 @@ class Crawler:
         )
         return dedup_ops.with_url_hashes(cand, "fetch_url")
 
+    def _index_pruned_corpus(self) -> tuple[DataFrame | None, bool]:
+        """(pruned index corpus, broadcast-it?) shared by every index phase.
+
+        The candidate pagination URLs are predictable up front, so the
+        corpus file-prune prescan runs ONCE for the whole phase — and when
+        the candidate list is driver-computable (bounded seeds), as an
+        IN-pushdown that lets row-group url stats prune the prescan itself
+        rather than a full url-column scan. When the pruned files are small
+        on disk the caller should BROADCAST the corpus side and plain-left-
+        join the candidate chain: _join_bodies' matched/unmatched
+        decomposition would evaluate the candidate UDF chain ~3x (broadcast
+        build + anti-join probe), the dominant cost at few-seeds scale."""
+        prune_files = self._prune_file_list(
+            self._index_page_candidates()
+            .select(F.col("fetch_url").alias("url"))
+            .distinct(),
+            "url",
+            key_urls=self._index_candidate_urls_local(),
+        )
+        if prune_files is None:
+            return None, False
+        pl = self._latest_of(self.spark.read.parquet(*prune_files))
+        try:
+            total = sum(os.path.getsize(f.removeprefix("file:")) for f in prune_files)
+            bcast = total <= 64 << 20
+        except OSError:
+            bcast = False
+        return pl, bcast
+
     def _fetch_all_index_pages(self, seen: DataFrame) -> DataFrame:
         """ONE distributed pass over the whole candidate-page universe:
         bodies joined, chain validity (no earlier empty page per seed) via a
         window, stash hits tagged when index_cached, hrefs projected in the
         same pass (unless an index_fn override needs the two-pass shape).
         Materialized — the per-round/lineage logic of both one-pass index
-        phases derives lazily from this parquet."""
+        phases derives lazily from this parquet. The materialization drops
+        ``html`` when hrefs were projected in-pass (nothing downstream reads
+        it then — the write stays slim even for fat index pages)."""
         cand = self._index_page_candidates()
-
-        fetched = self._join_bodies(cand, "fetch_url", prune_files=True).withColumn(
+        pl_index, bcast_pages = self._index_pruned_corpus()
+        if bcast_pages:
+            fetched = cand.join(
+                F.broadcast(pl_index.withColumnRenamed("url", "fetch_url")),
+                "fetch_url",
+                "left",
+            )
+        elif pl_index is not None:
+            fetched = self._join_bodies(cand, "fetch_url", pages_override=pl_index)
+        else:
+            fetched = self._join_bodies(cand, "fetch_url")
+        fetched = fetched.withColumn(
             "body_empty", F.col("html").isNull() | (F.length("html") == 0)
         )
         w = Window.partitionBy("seed_id").orderBy("page_k")
@@ -669,7 +714,7 @@ class Crawler:
             fetched = fetched.withColumn(
                 "hrefs",
                 extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
-            )
+            ).drop("html")
         return self._materialize(fetched, "index_fetched")
 
     def _index_oneshot_eligible(self) -> bool:
@@ -741,12 +786,14 @@ class Crawler:
         valid = fetched.filter("chain_valid").select(
             "host", "seed_id", "page_k", "pagination_index"
         )
-        schedule = self._materialize(
-            valid.groupBy("host").applyInPandas(
-                lambda pdf: simulate(pdf),
-                schema="host string, seed_id int, page_k int, round int, admitted boolean",
-            ),
-            "index_schedule",
+        # NOT materialized: the simulation is deterministic (sorted chains,
+        # pure function of the already-materialized index_fetched parquet),
+        # so its two consumers (lineage counts, the admitted-pages join) can
+        # each re-evaluate the tiny per-host groupBy cheaper than a
+        # write+read round-trip costs
+        schedule = valid.groupBy("host").applyInPandas(
+            lambda pdf: simulate(pdf),
+            schema="host string, seed_id int, page_k int, round int, admitted boolean",
         )
 
         pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
@@ -932,36 +979,9 @@ class Crawler:
             if s.seed_url and s.index_selector is not None
         )
         seed_cols = [f.name for f in schemas.SEEDS.fields]
-        # candidate pagination URLs are predictable up front, so the corpus
-        # file-prune prescan runs ONCE for the whole phase, not per round —
-        # and when the candidate list is driver-computable (bounded seeds),
-        # as an IN-pushdown rather than a full url-column scan
-        prune_files = self._prune_file_list(
-            self._index_page_candidates().select(F.col("fetch_url").alias("url")).distinct(),
-            "url",
-            key_urls=self._index_candidate_urls_local(),
-        )
-        pl_index = (
-            self._latest_of(self.spark.read.parquet(*prune_files))
-            if prune_files is not None
-            else None
-        )
-        # When the pruned index corpus is small enough (on-disk size), flip
-        # the join: broadcast the CORPUS side and plain-left-join the
-        # candidate chain. _join_bodies' matched/unmatched decomposition
-        # (broadcast the small frontier, stream the corpus) would evaluate
-        # the candidate UDF chain ~3x per round — once per broadcast build
-        # and once per anti-join probe; a broadcast-right left join keeps it
-        # to one evaluation, the round's dominant cost at few-seeds scale.
-        bcast_pages = False
-        if prune_files is not None:
-            try:
-                total = sum(
-                    os.path.getsize(f.removeprefix("file:")) for f in prune_files
-                )
-                bcast_pages = total <= 64 << 20
-            except OSError:
-                bcast_pages = False
+        # one prescan for the whole phase; broadcast-corpus flip when small
+        # (see _index_pruned_corpus for both rationales)
+        pl_index, bcast_pages = self._index_pruned_corpus()
         while round_no < max_rounds and alive > 0:
             cand = state.withColumn(
                 "next_url_raw",
@@ -1015,9 +1035,7 @@ class Crawler:
                     "left",
                 )
             else:
-                fused = self._join_bodies(
-                    cand, "fetch_url", pages_override=pl_index, prune_files=True
-                )
+                fused = self._join_bodies(cand, "fetch_url", pages_override=pl_index)
             fused = fused.withColumn(
                 "body_empty", F.col("html").isNull() | (F.length("html") == 0)
             )
@@ -1603,7 +1621,9 @@ class Crawler:
         return seen
 
     # ------------------------------------------------------ extraction phase
-    def attach_bodies(self, frontier: DataFrame, prune_files: bool = False) -> DataFrame:
+    def attach_bodies(
+        self, frontier: DataFrame, prune_files: bool | list[str] = False
+    ) -> DataFrame:
         """Frontier rows + page bodies. Missing/blocked/empty-url rows get a
         NULL body → decoded '' — the reference's EMPTY_STRING fetch-failure
         encoding (lib/upton.rb:35, lib/upton/downloader.rb:67).
@@ -1826,14 +1846,27 @@ class Crawler:
             frontier, seen = self.run_fetch_rounds(frontier, seen, phase=f"instance_pag_{k}")
         return frontier
 
-    def _extract_prune(self, frontier: DataFrame) -> bool:
+    def _extract_prune(self, frontier: DataFrame) -> bool | list[str]:
         """Prune the extraction corpus scan only for small frontiers: the
         count is a parquet-footer job on the materialized frontier, and the
         threshold keeps bulk crawls (whose frontier touches most corpus
-        files anyway) from paying a useless url-column prescan."""
+        files anyway) from paying a useless url-column prescan. Tiny
+        frontiers return the driver-collected url list itself — the prescan
+        then pushes an IN predicate to the parquet scan (row-group url stats
+        prune it) instead of streaming the whole url column through a
+        semi-join."""
         if self.pages_path is None or not self.broadcast_frontier:
             return False
-        return frontier.count() <= self.extract_prune_max_urls
+        n = frontier.count()
+        if n > self.extract_prune_max_urls:
+            return False
+        if n <= 10_000:
+            urls = [
+                r["url"] for r in frontier.select("url").distinct().collect() if r["url"]
+            ]
+            if urls:
+                return urls
+        return True
 
     def lineage_df(self) -> DataFrame:
         return self.spark.createDataFrame(self._lineage_rows, schema=schemas.LINEAGE)
