@@ -388,6 +388,43 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / intl phone -> typed placeholders +
+    per-doc counts). The synthetic corpus carries no PII, so the query
+    injects deterministic doc_id-derived PII into the text first — the
+    oracle builds the identical input, so the scrub itself is what's
+    compared. All codegen; patterns restricted to the Java-regex ∩ RE2
+    common subset."""
+    from upton_spark.operators.textops import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.lit("Contact user"),
+            F.col("doc_id"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(". "),
+            F.substring(F.col("text"), 1, 80),
+        ),
+    )
+    return pii_scrub(docs).select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_ips").cast("long").alias("n_ips"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        "clean_text",
+    )
+
+
 def q_quality_scores(spark, sf_dir):
     """Webtext quality gate features (length/punct/stopword/token-shape)."""
     from upton_spark.operators.textops import with_quality_stats
@@ -561,6 +598,18 @@ def q_embedding_ivf_topk(spark, sf_dir):
     cent = train_ivf_centroids(emb, dim=64, n_centroids=16, sample_mod=5)
     qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
     return ivf_topk(with_ivf_cell(emb, cent), cent, qvec, k=10, nprobe=4)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (cluster with the deterministic
+    k-means quantizer, drop vectors with an earlier >=0.4-cosine
+    cluster-mate). Oracle: baked retrained centroids + the keep rule as an
+    EXISTS over the cluster-bucketed self-join — never all-pairs."""
+    from upton_spark.operators.similarity import semantic_dedup, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = train_ivf_centroids(emb, dim=64, n_centroids=16, sample_mod=5)
+    return semantic_dedup(emb, cent, threshold=0.4).orderBy("vec_id")
 
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
@@ -1028,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
+        "pii_scrub": q_pii_scrub,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1056,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "embedding_lsh_buckets": q_embedding_lsh_buckets,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1463,14 +1514,12 @@ def _webgraph_oracles() -> dict[str, str]:
     return out
 
 
-def _ivf_oracle() -> str | None:
-    """IVF search oracle: the coarse quantizer is deterministic seeded
-    numpy over the id-sorted sample, so the generator retrains the SAME
-    centroids from the parquet (via DuckDB, no Spark) and bakes them — the
-    SQL then independently assigns cells (rounded-dot argmax, first-max
-    tie-break) and searches the baked nprobe cells. Returns None when the
-    driver's sf0.01 table is unavailable at generation time (the query then
-    stays rows-only)."""
+def _retrain_ivf_centroids():
+    """Retrain the deterministic coarse quantizer from the driver's sf0.01
+    parquet via DuckDB (no Spark) — seeded numpy over the id-sorted sample,
+    so the baked centroids are bit-identical to the Spark trainer's. Also
+    returns the query vector (vec_id=0). None when the table is unavailable
+    at generation time (the dependent queries then stay rows-only)."""
     try:
         import duckdb
         import numpy as np
@@ -1491,15 +1540,22 @@ def _ivf_oracle() -> str | None:
         return None
     if not sample or qrow is None:
         return None
+    import numpy as np
+
+    from upton_spark.operators.similarity import kmeans_unit_centroids
+
     cent = kmeans_unit_centroids(np.array([r[0] for r in sample], dtype=np.float64), 16, 5)
-    qvec = np.asarray(qrow[0], dtype=np.float64)
-    qn = qvec / max(np.linalg.norm(qvec), 1e-12)
-    probe_cells = [int(c) for c in np.argsort(-(cent @ qn))[:4]]
+    return cent, np.asarray(qrow[0], dtype=np.float64)
+
+
+def _ivf_assigned_cte(cent) -> str:
+    """WITH-chain ending in ``assigned(vec_id, ev, ivf_cell)``: baked
+    centroids, unit-normalize, rounded-dot argmax (first-max tie-break) —
+    the SQL replica of operators.similarity.with_ivf_cell, shared by the
+    IVF-search and semantic-dedup oracles."""
     cent_sql = "[" + ",".join(
         "[" + ",".join(repr(float(v)) for v in row) + "]" for row in cent
     ) + "]"
-    qvec_sql = "[" + ",".join(repr(float(v)) for v in qvec) + "]"
-    cells_sql = ",".join(str(c) for c in probe_cells)
     return f"""
         WITH c AS (SELECT {cent_sql} AS cent),
         e AS (
@@ -1517,9 +1573,84 @@ def _ivf_oracle() -> str | None:
           SELECT vec_id, ev, list_position(dots, list_aggregate(dots, 'max')) - 1 AS ivf_cell
           FROM cells
         )
+    """
+
+
+def _ivf_oracle() -> str | None:
+    """IVF search oracle: baked retrained centroids (see
+    _retrain_ivf_centroids), independent SQL cell assignment, search of the
+    baked nprobe cells."""
+    trained = _retrain_ivf_centroids()
+    if trained is None:
+        return None
+    import numpy as np
+
+    cent, qvec = trained
+    qn = qvec / max(np.linalg.norm(qvec), 1e-12)
+    probe_cells = [int(c) for c in np.argsort(-(cent @ qn))[:4]]
+    qvec_sql = "[" + ",".join(repr(float(v)) for v in qvec) + "]"
+    cells_sql = ",".join(str(c) for c in probe_cells)
+    return (
+        _ivf_assigned_cte(cent)
+        + f"""
         SELECT vec_id, round(list_cosine_similarity(ev, {qvec_sql}), 6) AS cosine
         FROM assigned WHERE ivf_cell IN ({cells_sql})
         ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+    )
+
+
+def _semantic_dedup_oracle() -> str | None:
+    """SemDeDup oracle: same baked-centroid cell assignment, then the keep
+    rule replayed as a plain EXISTS — b is dropped iff some a < b in its
+    cluster has round(cosine, 6) >= threshold."""
+    trained = _retrain_ivf_centroids()
+    if trained is None:
+        return None
+    cent, _ = trained
+    return (
+        _ivf_assigned_cte(cent)
+        + """
+        , dupes AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b USING (ivf_cell)
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4
+        )
+        SELECT vec_id, CAST(ivf_cell AS INT) AS ivf_cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dupes)
+        ORDER BY vec_id
+    """
+    )
+
+
+def _pii_scrub_oracle() -> str:
+    """PII scrub replay: the identical doc_id-derived PII injection, then
+    the SAME regex constants (Java ∩ RE2 subset) applied email -> ip ->
+    phone; counts on the original text via regexp_extract_all length."""
+    from upton_spark.operators.textops import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+        WITH src AS (
+          SELECT doc_id,
+                 'Contact user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
+                 || '.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 || '-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 || '. ' || substr(text, 1, 80) AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+        FROM src
     """
 
 
@@ -1650,8 +1781,10 @@ def _lsh_near_dups_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle()
+    semded = _semantic_dedup_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
+        **({"semantic_dedup": semded} if semded is not None else {}),
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """
@@ -1841,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_exact
             FROM documents
         """,
+        "pii_scrub": _pii_scrub_oracle(),
         "quality_scores": """
             SELECT doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens,

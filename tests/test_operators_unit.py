@@ -152,3 +152,34 @@ class TestPoliteness:
         assert politeness.tokens_for(None, 60) == politeness.UNLIMITED
         assert politeness.tokens_for(30, 60) == 2
         assert politeness.tokens_for(120, 60) == 1  # min one: chains progress
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from upton_spark.operators.textops import pii_scrub
+
+        rows = [
+            (0, "mail a.b+c@ex-ample.org and x@y.io, call +44-201-3344-555, host 192.168.0.1 ok"),
+            (1, "no pii here, just 3.14 and v1.2.3.4.5 is a version"),
+            (2, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert out[0]["n_emails"] == 2
+        assert out[0]["n_ips"] == 1
+        assert out[0]["n_phones"] == 1
+        assert (
+            out[0]["clean_text"]
+            == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> ok"
+        )
+        # dotted version strings: 1.2.3.4 inside v1.2.3.4.5 does match the
+        # \b-anchored IPv4 shape — the scrub is deliberately recall-leaning
+        assert out[1]["n_emails"] == 0 and out[1]["n_phones"] == 0
+        assert out[2]["clean_text"] == ""
+
+    def test_all_codegen(self, spark):
+        from upton_spark.operators.textops import pii_scrub
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

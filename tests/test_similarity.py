@@ -132,3 +132,42 @@ def test_cosine_matches_numpy(emb):
         v = np.array(_vec(i))
         want = float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
         assert math.isclose(got[i], round(want, 6), abs_tol=2e-6)
+
+
+def test_semantic_dedup_matches_brute_force_rule(emb):
+    """semantic_dedup == the definition computed naively in numpy: within
+    each assigned cluster, drop b iff some a < b has round(cos,6) >= tau."""
+    from upton_spark.operators.similarity import semantic_dedup
+
+    tau = 0.9  # clusters in _vec differ only by the 0.001*i perturbation
+    cent = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
+    kept = {r["vec_id"] for r in semantic_dedup(emb, cent, threshold=tau).collect()}
+
+    assigned = {
+        r["vec_id"]: r["ivf_cell"] for r in with_ivf_cell(emb, cent).collect()
+    }
+    mat = np.array([_vec(i) for i in range(N)])
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = set()
+    for b in range(N):
+        dup = any(
+            a < b
+            and assigned[a] == assigned[b]
+            and round(float(mn[a] @ mn[b]), 6) >= tau
+            for a in range(N)
+        )
+        if not dup:
+            expect.add(b)
+    assert kept == expect
+    # the perturbed near-identical cluster-mates actually deduped
+    assert len(kept) < N
+
+
+def test_semantic_dedup_plan_no_cartesian(emb):
+    """The pair join is cluster-bucketed — the plan must not contain a
+    CartesianProduct (all-pairs would be O(n^2) at corpus scale)."""
+    from upton_spark.operators.similarity import semantic_dedup
+
+    cent = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
+    plan = semantic_dedup(emb, cent, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -243,3 +243,45 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with the k-means coarse quantizer, compute pairwise
+    cosine ONLY within each cluster, and drop every vector that has an
+    EARLIER (lower-id) cluster-mate above ``threshold``. Returns the kept
+    rows as (id, ivf_cell), ordered semantics left to the caller.
+
+    Keep rule: b survives iff no a < b in b's cluster has
+    round(cos(a,b), 6) >= threshold. The "earlier row wins" rule (rather
+    than the sequential "earlier KEPT row wins") keeps the operator a plain
+    EXISTS — one cluster-bucketed self-join, deterministic, and replayable
+    in SQL; like the paper, cross-cluster duplicates are out of scope by
+    design (that is the approximation that makes it O(sum cell²), not n²).
+
+    100-TB shape: the only shuffle is the cluster-key exchange; pair work is
+    proportional to cluster density, never all-pairs. The quantizer trains
+    on a bounded sample (train_ivf_centroids); assignment is one Arrow-batch
+    matmul per partition."""
+    assigned = with_ivf_cell(embeddings, centroids, vec_col).select(
+        id_col, vec_col, "ivf_cell"
+    )
+    a = assigned.select(
+        F.col(id_col).alias("_a"), F.col(vec_col).alias("_vec_a"), "ivf_cell"
+    )
+    dupes = (
+        a.join(assigned, "ivf_cell")
+        .filter(F.col("_a") < F.col(id_col))
+        .filter(
+            F.round(cosine_col(F.col("_vec_a"), F.col(vec_col)), 6) >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return assigned.join(dupes, id_col, "left_anti").select(id_col, "ivf_cell")

@@ -186,3 +186,37 @@ def repetition_stats(
         .cast("int")  # int 0/1: engine-neutral for cross-engine hashing
         .alias("repetitive"),
     )
+
+
+# PII scrubbing patterns — written to the common subset of Java regex
+# (Spark, codegen) and RE2 (DuckDB oracle): no backrefs, no lookaround,
+# non-capturing groups only, \b supported by both.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{1,3}(?:-\d{3,4}){2,4}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: emails, IPv4 addresses and
+    international-format phone numbers replaced by typed placeholders, with
+    per-document match counts (counted on the ORIGINAL text, so the counts
+    are independent of replacement order; replacements apply
+    email -> ip -> phone).
+
+    All codegen (regexp_count/regexp_replace) — no Python in the scan, so
+    the scrub rides the same whole-stage-codegen pass as the quality gates
+    at 100 TB."""
+    text = F.col(text_col)
+
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+
+    clean = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", n(PII_EMAIL))
+        .withColumn("n_ips", n(PII_IPV4))
+        .withColumn("n_phones", n(PII_PHONE))
+        .withColumn("clean_text", clean)
+    )
