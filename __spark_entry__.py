@@ -388,6 +388,28 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup (fixed word windows stand in
+    for newline paragraphs on the single-line corpus): keep the globally
+    first occurrence of each distinct paragraph, rebuild documents from
+    survivors. Oracle: the identical windowing + min-key first-occurrence
+    rule + ordered rebuild in SQL."""
+    from upton_spark.operators.dedup_docs import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return paragraph_dedup(docs).orderBy("doc_id")
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Greedy sequential sequence packing into 256-token bins, sharded by
+    doc_id % 8 (each shard walk is independent — the 100-TB shape). Oracle:
+    the same greedy walk as a recursive CTE per shard."""
+    from upton_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, capacity=256, n_shards=8).orderBy("doc_id")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails / IPv4 / intl phone -> typed placeholders +
     per-doc counts). The synthetic corpus carries no PII, so the query
@@ -1078,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
+        "sequence_pack": q_sequence_pack,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1975,6 +1999,49 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        "paragraph_dedup": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            paras AS (
+              SELECT doc_id, CAST(k AS INT) AS pos,
+                     array_to_string(list_slice(w, k*3+1, k*3+3), ' ') AS para
+              FROM toks, unnest(range(CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(k)
+            ),
+            firsts AS (
+              SELECT para, min(doc_id*1048576+pos) AS first_key FROM paras GROUP BY para
+            ),
+            flagged AS (
+              SELECT p.doc_id, p.pos, p.para,
+                     (p.doc_id*1048576+p.pos = f.first_key) AS kept
+              FROM paras p JOIN firsts f USING (para)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(array_to_string(list(para ORDER BY pos) FILTER (WHERE kept), chr(10)), '') AS clean_text
+            FROM flagged GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sequence_pack": """
+            WITH RECURSIVE t AS (
+              SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+              FROM documents
+            ), o AS (
+              SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t
+            ), packed AS (
+              SELECT shard, rn, doc_id, n_tokens,
+                     n_tokens AS cum, CAST(0 AS BIGINT) AS bin_id
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+                     CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 256
+                          THEN o.n_tokens ELSE p.cum + o.n_tokens END,
+                     CASE WHEN p.cum > 0 AND p.cum + o.n_tokens > 256
+                          THEN p.bin_id + 1 ELSE p.bin_id END
+              FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1
+            )
+            SELECT doc_id, shard, bin_id, n_tokens FROM packed ORDER BY doc_id
+        """,
         "quality_scores": """
             SELECT doc_id,
                    CAST(n_tokens AS BIGINT) AS n_tokens,

@@ -149,3 +149,30 @@ def test_duplicate_components_long_chain_converges(spark):
     rows = duplicate_components(pairs).collect()
     assert {r["component"] for r in rows} == {100}
     assert len(rows) == 13
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    """Repeated 3-word windows survive only at their globally-first
+    (doc_id, pos); documents rebuild from survivors in position order."""
+    from upton_spark.operators.dedup_docs import paragraph_dedup
+
+    rows = [
+        (0, "a b c d e f"),          # paras: "a b c", "d e f"
+        (1, "a b c x y z"),          # "a b c" dup of doc0#0; "x y z" new
+        (2, "x y z a b c"),          # both already seen
+        (3, "p q r p q r"),          # second window dups the first IN-doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert (out[0]["n_paras"], out[0]["n_kept"], out[0]["clean_text"]) == (2, 2, "a b c\nd e f")
+    assert (out[1]["n_paras"], out[1]["n_kept"], out[1]["clean_text"]) == (2, 1, "x y z")
+    assert (out[2]["n_paras"], out[2]["n_kept"], out[2]["clean_text"]) == (2, 0, "")
+    assert (out[3]["n_paras"], out[3]["n_kept"], out[3]["clean_text"]) == (2, 1, "p q r")
+
+
+def test_paragraph_dedup_all_codegen(spark):
+    from upton_spark.operators.dedup_docs import paragraph_dedup
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -177,3 +177,43 @@ class TestRepetitionStats:
         plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # map-only: one pass over the corpus
         assert "Python" not in plan  # higher-order expressions, no UDF
+
+
+def test_pack_sequences_greedy_walk(spark):
+    """Greedy per-shard packing: non-empty bins close on overflow, an
+    oversized doc gets a bin to itself, zero-token docs ride along."""
+    from upton_spark.operators.sampling import pack_sequences
+
+    def words(n):
+        return " ".join("w" for _ in range(n))
+
+    # all in one shard (ids are multiples of 8)
+    rows = [
+        (0, words(100)),   # bin 0 (cum 100)
+        (8, words(150)),   # bin 0 (cum 250)
+        (16, words(10)),   # would overflow 256 -> bin 1 (cum 10)
+        (24, words(300)),  # oversized: overflows non-empty bin 1 -> bin 2 alone
+        (32, ""),          # 0 tokens: cum 300 > cap but adding 0 keeps <= rule? 300+0 > 256 -> new bin 3
+        (40, words(5)),    # cum 0+? after empty doc: bin 3 had cum 0 -> stays bin 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pack_sequences(df, capacity=256, n_shards=8).collect()}
+    assert [out[i]["bin_id"] for i in (0, 8, 16, 24)] == [0, 0, 1, 2]
+    assert out[32]["bin_id"] == 3 and out[32]["n_tokens"] == 0
+    assert out[40]["bin_id"] == 3
+    assert all(out[i]["shard"] == 0 for i in (0, 8, 16, 24, 32, 40))
+
+
+def test_pack_sequences_shards_independent(spark):
+    from upton_spark.operators.sampling import pack_sequences
+
+    rows = [(i, " ".join("w" for _ in range(64))) for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, capacity=128, n_shards=8).collect()
+    # 4 docs per shard, 64 tokens each, capacity 128 -> bins of exactly 2 docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["doc_id"], r["bin_id"]))
+    for shard, docs in by_shard.items():
+        docs.sort()
+        assert [b for _, b in docs] == [0, 0, 1, 1]

@@ -409,3 +409,56 @@ def contamination_pairs(
         "n_shingles",
         F.round(F.col("n_shared") / F.col("n_shingles"), 4).alias("overlap"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_para: int = 3,
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph-level exact dedup: split every
+    document into fixed-width word windows ("paragraphs" — the synthetic
+    corpus is single-line, so windows stand in for newline paragraphs),
+    keep only the globally FIRST occurrence of each distinct paragraph
+    (min (doc_id, pos)), and rebuild each document from its surviving
+    paragraphs.
+
+    Returns (id, n_paras, n_kept, clean_text). All codegen — the explode,
+    the first-occurrence groupBy, and the ordered rebuild are builtin
+    expressions; the only shuffles are the paragraph-hash exchange and the
+    per-doc regroup, both key-partitioned (the 100-TB shape: paragraph
+    dedup is one groupBy over the exploded corpus, never pairwise).
+
+    The first-occurrence key is doc_id * 2^20 + pos (pos < 2^20 holds for
+    any real document), kept scalar so the SQL oracle replays it without
+    struct-comparison semantics."""
+    toks = F.split(F.col(text_col), " ")
+    n_paras = F.ceil(F.size(toks) / F.lit(float(words_per_para))).cast("int")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda k: F.concat_ws(
+                    " ", F.slice(toks, k * words_per_para + 1, words_per_para)
+                ),
+            )
+        ).alias("pos", "para"),
+    )
+    key = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    firsts = paras.groupBy("para").agg(F.min(key).alias("first_key"))
+    flagged = paras.join(firsts, "para").withColumn("kept", key == F.col("first_key"))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )

@@ -16,6 +16,7 @@ no RNG state — and exact (no floats), so the oracle matches bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Knuth multiplicative constant + a prime offset; the bucket space is
@@ -82,4 +83,52 @@ def mixing_report(
                 F.coalesce("n_kept", F.lit(0)) / F.col("n_total"), 4
             ).alias("realized_rate"),
         )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequential sequence packing: within each shard (id mod
+    n_shards), walk documents in id order and start a new bin whenever
+    adding the next document would exceed ``capacity`` tokens (a document
+    larger than capacity still gets a bin to itself — greedy first-doc
+    always places). Returns (id, shard, bin_id, n_tokens).
+
+    Packing is inherently sequential PER SHARD (each decision depends on
+    the running total), so the stateful walk runs as one applyInPandas per
+    shard — embarrassingly parallel across shards, which is exactly how a
+    100-TB packing job shards: thousands of independent shard walks, no
+    cross-shard coordination. The per-row loop inside the walk is O(docs
+    per shard) driver-free Python — the sequential dependency is the
+    algorithm, not an implementation shortcut."""
+    from upton_spark.operators.textops import token_count_col
+
+    base = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).cast("int").alias("shard"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, cum, b = [], 0, 0
+        for tok in pdf["n_tokens"]:
+            # a non-empty bin closes when the next doc would overflow it; an
+            # empty bin (cum == 0) always accepts, so oversized docs get a
+            # bin to themselves without an infinite split
+            if cum > 0 and cum + tok > capacity:
+                b += 1
+                cum = 0
+            bins.append(b)
+            cum += tok
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "shard", "bin_id", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        walk, schema=f"{id_col} long, shard int, bin_id long, n_tokens long"
     )
