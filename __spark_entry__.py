@@ -388,6 +388,17 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights vs an English target (hashed
+    unigram+bigram bag models, add-1 smoothed log-ratio). Oracle: the same
+    md5-bucketed gram stream and per-bucket log-ratios (rounded to 6 so
+    both engines sum identical terms) in SQL."""
+    from upton_spark.operators.sampling import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en", n_buckets=4096).orderBy("doc_id")
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style corpus-wide paragraph dedup (fixed word windows stand in
     for newline paragraphs on the single-line corpus): keep the globally
@@ -1102,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "sequence_pack": q_sequence_pack,
+        "dsir_weights": q_dsir_weights,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1648,6 +1660,75 @@ def _semantic_dedup_oracle() -> str | None:
     )
 
 
+def _dsir_oracle() -> str | None:
+    """DSIR oracle: bucket counts computed in Python from the driver's
+    sf0.01 parquet (the SAME hashlib-md5 gram bucketing the Spark UDF
+    runs), per-bucket log-ratios baked as literal doubles — one libm
+    computes every weight, so both engines sum identical terms; the SQL
+    side independently re-derives the gram->bucket stream via
+    md5_number_lower and joins the baked table. None when the parquet is
+    unavailable at generation time."""
+    import hashlib
+
+    try:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            "SELECT doc_id, text, lang FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    from upton_spark.operators.sampling import dsir_bucket_logweights
+
+    n_buckets = 4096
+    counts: dict[int, list[int]] = {}
+    cache: dict[str, int] = {}
+
+    def bucket(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % n_buckets
+            cache[g] = v
+        return v
+
+    for _doc_id, text, lang in rows:
+        toks = (text or "").split()
+        if not toks:
+            continue
+        is_t = lang == "en"
+        for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            c = counts.setdefault(bucket(g), [0, 0])
+            c[0] += 1
+            c[1] += int(is_t)
+    lw_rows = dsir_bucket_logweights({b: (rc, tc) for b, (rc, tc) in counts.items()}, n_buckets)
+    vals = ",".join(f"({b},{w})" for b, w in lw_rows)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) <> ''
+        ), uni AS (
+          SELECT doc_id, unnest(w) AS g FROM tok
+        ), big AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM tok, unnest(range(1, len(w))) AS t(i)
+        ), grams AS (
+          SELECT doc_id, CAST(md5_number_lower(g) % 4096 AS INT) AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        ), w2 AS (
+          -- integer micro-units: the sum is exact (order-insensitive) in
+          -- both engines; ONE float division at the end
+          SELECT bucket, CAST(lw_micro AS BIGINT) AS lw_micro
+          FROM (VALUES {vals}) v(bucket, lw_micro)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               sum(lw_micro) / 1000000.0 AS dsir_logweight
+        FROM grams JOIN w2 USING (bucket) GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _pii_scrub_oracle() -> str:
     """PII scrub replay: the identical doc_id-derived PII injection, then
     the SAME regex constants (Java ∩ RE2 subset) applied email -> ip ->
@@ -1806,6 +1887,7 @@ def _lsh_near_dups_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle()
     semded = _semantic_dedup_oracle()
+    dsir = _dsir_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
@@ -1999,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_scrub": _pii_scrub_oracle(),
+        **({"dsir_weights": dsir} if dsir is not None else {}),
         "paragraph_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             paras AS (

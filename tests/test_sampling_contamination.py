@@ -217,3 +217,29 @@ def test_pack_sequences_shards_independent(spark):
     for shard, docs in by_shard.items():
         docs.sort()
         assert [b for _, b in docs] == [0, 0, 1, 1]
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs that share vocabulary with the target distribution score
+    higher; identical docs score identically; weights are reproducible."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.sampling import dsir_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta", "en") for i in range(6)]
+        + [(10 + i, "omega psi chi phi", "zh") for i in range(6)]
+        + [(20, "alpha beta gamma delta", "zh"),  # target-like text, raw lang
+           (21, "omega psi chi phi", "en")]       # raw-like text
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["dsir_logweight"] for r in dsir_weights(df, F.col("lang") == "en", n_buckets=512).collect()}
+    # target-like text beats raw-like text regardless of its own label
+    assert out[20] > out[10]
+    assert out[0] > out[21]
+    # identical text -> identical weight
+    assert out[20] == out[0]
+    assert out[21] == out[10]
+    # deterministic across re-runs
+    out2 = {r["doc_id"]: r["dsir_logweight"] for r in dsir_weights(df, F.col("lang") == "en", n_buckets=512).collect()}
+    assert out == out2

@@ -132,3 +132,118 @@ def pack_sequences(
     return base.groupBy("shard").applyInPandas(
         walk, schema=f"{id_col} long, shard int, bin_id long, n_tokens long"
     )
+
+
+def _hashed_gram_buckets(
+    df: DataFrame, n_buckets: int, text_col: str, id_col: str, extra_cols: list[str]
+) -> DataFrame:
+    """(id, extra..., bucket) — one row per unigram AND bigram occurrence,
+    bucketed by md5_number_lower(gram) % n_buckets (the DuckDB-replayable
+    64-bit hash every signature op here uses). Arrow-batched; the token
+    hash is memoized per batch (webtext vocabulary repeats heavily)."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def h(g: str) -> int:
+            v = cache.get(g)
+            if v is None:
+                v = (
+                    int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little")
+                    % n_buckets
+                )
+                cache[g] = v
+            return v
+
+        out = []
+        for t in text:
+            toks = (t or "").split()
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            out.append([h(g) for g in grams])
+        return pd.Series(out)
+
+    return df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(buckets(F.col(text_col))).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter: Column,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    public): hashed unigram+bigram bag-of-ngrams models of the TARGET
+    distribution (rows matching ``target_filter``) and the RAW corpus;
+    each document scores sum over its grams of
+    log p_target(bucket) - log p_raw(bucket), add-1 smoothed. High scores
+    = documents that look like the target — resample by weight to select
+    pre-training data.
+
+    100-TB shape: one explode + one bucket-count aggregation whose result
+    is O(n_buckets) rows HOWEVER big the corpus — that bounded model state
+    is collected, the log-ratios computed once driver-side (so both Spark
+    and a SQL oracle join against the SAME literal doubles — JVM and
+    engine libm ln() differ in the last ulp, which flips rounded terms),
+    and broadcast-joined back onto the gram stream for the per-doc sum.
+    No all-pairs anything.
+
+    Returns (id, n_grams, dsir_logweight)."""
+    tagged = df.withColumn("_target", target_filter)
+    grams = _hashed_gram_buckets(tagged, n_buckets, text_col, id_col, ["_target"])
+    counts = (
+        grams.groupBy("bucket")
+        .agg(
+            F.count("*").alias("raw_c"),
+            F.sum(F.col("_target").cast("long")).alias("tgt_c"),
+        )
+        .collect()
+    )
+    lw_rows = dsir_bucket_logweights(
+        {r["bucket"]: (r["raw_c"], r["tgt_c"]) for r in counts}, n_buckets
+    )
+    weights = df.sparkSession.createDataFrame(lw_rows, "bucket int, lw_micro long")
+    return (
+        grams.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            # exact integer sum, ONE float division at the end — no
+            # accumulation-order sensitivity, engine-independent
+            (F.sum("lw_micro") / F.lit(1_000_000.0)).alias("dsir_logweight"),
+        )
+    )
+
+
+def dsir_bucket_logweights(
+    counts: dict[int, tuple[int, int]], n_buckets: int
+) -> list[tuple[int, int]]:
+    """(bucket, 10^6 x (log p_target - log p_raw)) from
+    {bucket: (raw_c, tgt_c)}, add-1 smoothed, as INTEGER micro-units: one
+    libm (CPython's) computes every weight, and both the Spark plan and the
+    generated oracle sum exact integers (order-insensitive) with a single
+    float division at the end."""
+    import math
+
+    n_raw = sum(rc for rc, _ in counts.values())
+    n_tgt = sum(tc for _, tc in counts.values())
+    return [
+        (
+            int(b),
+            round(
+                (
+                    math.log((tc + 1.0) / (n_tgt + float(n_buckets)))
+                    - math.log((rc + 1.0) / (n_raw + float(n_buckets)))
+                )
+                * 1_000_000
+            ),
+        )
+        for b, (rc, tc) in sorted(counts.items())
+    ]
