@@ -388,6 +388,15 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (48-token windows, stride 32 — overlap 16)
+    over the documents table; map-only explode, no shuffle."""
+    from upton_spark.operators.textops import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=48, stride=32).orderBy("doc_id", "chunk_id")
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights vs an English target (hashed
     unigram+bigram bag models, add-1 smoothed log-ratio). Oracle: the same
@@ -1114,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "sequence_pack": q_sequence_pack,
         "dsir_weights": q_dsir_weights,
+        "chunk_documents": q_chunk_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2082,6 +2092,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
+        "chunk_documents": """
+            WITH tok AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''
+            )
+            SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                   CAST(len(list_slice(w, k*32+1, k*32+48)) AS BIGINT) AS n_tokens,
+                   array_to_string(list_slice(w, k*32+1, k*32+48), ' ') AS chunk_text
+            FROM tok,
+                 unnest(range(CAST(ceil(greatest(len(w) - 48, 0) / 32.0) AS BIGINT) + 1)) AS t(k)
+            ORDER BY doc_id, chunk_id
+        """,
         "paragraph_dedup": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             paras AS (

@@ -153,6 +153,11 @@ HEADLINE_QUERIES = [
     "link_pagerank",
     "benchmark_contamination",
     "repetition_stats",
+    "semantic_dedup",
+    "paragraph_dedup",
+    "sequence_pack",
+    "dsir_weights",
+    "pii_scrub",
 ]
 
 

@@ -176,3 +176,30 @@ def test_paragraph_dedup_all_codegen(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = paragraph_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from upton_spark.operators.textops import chunk_documents
+
+    def words(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    rows = [(0, words(10)), (1, words(4)), (2, words(5)), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc0: 10 tokens -> ceil(6/3)+1 = 3 chunks at 0,3,6: sizes 4,4,4
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c0] == [4, 4, 4]
+    assert c0[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert c0[1]["chunk_text"] == "t3 t4 t5 t6"  # 1-token overlap
+    assert c0[2]["chunk_text"] == "t6 t7 t8 t9"
+    # doc1: 4 tokens -> exactly one full window
+    assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[1]] == [(0, 4)]
+    # doc2: 5 tokens -> chunks at 0 and 3 (short tail)
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["n_tokens"]) for r in c2] == [(0, 4), (1, 2)]
+    # empty doc filtered out
+    assert 3 not in by_doc

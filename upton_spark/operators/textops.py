@@ -220,3 +220,36 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_phones", n(PII_PHONE))
         .withColumn("clean_text", clean)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking for pre-training / retrieval: token windows
+    of ``window`` tokens starting every ``stride`` tokens (overlap =
+    window - stride), the last chunk short. Chunk count is
+    ceil(max(n - window, 0) / stride) + 1, so every token is covered and no
+    chunk starts past the end. Returns (id, chunk_id, n_tokens,
+    chunk_text). All codegen (split/sequence/slice) — a map-only explode,
+    no shuffle at all."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunk = lambda k: F.slice(toks, k * stride + 1, window)  # noqa: E731
+    return df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+        ).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )
