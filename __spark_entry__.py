@@ -388,6 +388,25 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+_ESD_BOILER = "copyright footer all rights reserved contact site admin"
+
+
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022 shape): every duplicated
+    8-token span removed from all but its globally-first occurrence. The
+    word-soup corpus carries no organic exact spans, so the query appends a
+    shared boilerplate sentence to every doc (the classic template-footer
+    case) — the oracle builds the identical input and replays the
+    positional-shingle chain, first-occurrence rule, span merge and
+    rebuild in SQL."""
+    from upton_spark.operators.dedup_docs import exact_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.concat("text", F.lit(" " + _ESD_BOILER))
+    )
+    return exact_substring_dedup(docs, k=8).orderBy("doc_id")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Context-window chunking (48-token windows, stride 32 — overlap 16)
     over the documents table; map-only explode, no shuffle."""
@@ -1124,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "dsir_weights": q_dsir_weights,
         "chunk_documents": q_chunk_documents,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -1739,6 +1759,77 @@ def _dsir_oracle() -> str | None:
     """
 
 
+def _exact_substring_oracle() -> str:
+    """Positional k=8 shingle chain (same md5>>2 + HUGEINT wraparound
+    combine as the MinHash oracles, WITHOUT distinct), first-occurrence
+    rule on doc_id*2^20+pos, gaps-and-islands span merge, covered-position
+    anti-join rebuild."""
+    from upton_spark.operators.dedup_docs import _SHINGLE_C
+
+    k = 8
+    cpl = _hugeint_list(pow(int(_SHINGLE_C), j, 1 << 64) for j in range(k))
+    return f"""
+        WITH cp_c AS (SELECT {cpl} AS cp),
+        src AS (
+          SELECT doc_id, text || ' {_ESD_BOILER}' AS text2 FROM documents
+        ),
+        t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text2) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text2), '\\s+') END AS toks,
+                 CASE WHEN trim(lower(text2)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text2)), '\\s+') END AS ltoks
+          FROM src
+        ), th AS (
+          SELECT doc_id, toks,
+                 list_transform(ltoks, w -> CAST(md5_number_lower(w) >> 2 AS HUGEINT)) AS h,
+                 len(ltoks) AS n
+          FROM t
+        ), occ AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 coalesce(list_sum(list_transform(range(0, {k}), j -> (h[i+j+1] * cp[j+1]) % {_T64})), 0) % {_T64} AS shv
+          FROM th, cp_c, unnest(range(0, greatest(n - {k} + 1, 0))) AS u(i)
+        ), firsts AS (
+          SELECT shv, min(doc_id*1048576 + pos) AS fk, count(*) AS n_occ
+          FROM occ GROUP BY shv
+        ), spans AS (
+          SELECT doc_id, pos AS s, pos + {k} AS e
+          FROM occ JOIN firsts USING (shv)
+          WHERE n_occ > 1 AND doc_id*1048576 + pos <> fk
+        ), isl AS (
+          SELECT doc_id, s, e,
+                 CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                      THEN 1 ELSE 0 END AS ni
+          FROM spans
+        ), isl2 AS (
+          SELECT doc_id, s, e,
+                 sum(ni) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+          FROM isl
+        ), merged AS (
+          SELECT doc_id, min(s) AS s, max(e) AS e FROM isl2 GROUP BY doc_id, island
+        ), covered AS (
+          SELECT DISTINCT doc_id, CAST(p AS INT) AS pos FROM merged, unnest(range(s, e)) AS v(p)
+        ), tokpos AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS tok
+          FROM th, unnest(range(1, len(toks) + 1)) AS u(i)
+        ), kept AS (
+          SELECT tp.doc_id, tp.pos, tp.tok
+          FROM tokpos tp ANTI JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+        ), rebuilt AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT th.doc_id,
+               CAST(len(th.toks) AS BIGINT) AS n_tokens,
+               CAST(len(th.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(r.clean_text, '') AS clean_text
+        FROM th LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY th.doc_id
+    """
+
+
 def _pii_scrub_oracle() -> str:
     """PII scrub replay: the identical doc_id-derived PII injection, then
     the SAME regex constants (Java ∩ RE2 subset) applied email -> ip ->
@@ -2092,6 +2183,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
+        "exact_substring_dedup": _exact_substring_oracle(),
         "chunk_documents": """
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -203,3 +203,40 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert [(r["chunk_id"], r["n_tokens"]) for r in c2] == [(0, 4), (1, 2)]
     # empty doc filtered out
     assert 3 not in by_doc
+
+
+def test_exact_substring_dedup_keeps_first_occurrence(spark):
+    """Every duplicated 8-token span is stripped from all but the globally
+    first (doc_id, pos) occurrence; overlapping spans merge; short and
+    empty docs pass through untouched."""
+    from upton_spark.operators.dedup_docs import exact_substring_dedup
+
+    boiler = "copyright footer all rights reserved contact site admin"  # 8 tokens
+    rows = [
+        (0, "alpha beta gamma " + boiler),
+        (1, "delta epsilon zeta " + boiler),
+        (2, boiler + " unique tail here"),
+        (3, "short doc"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, k=8).collect()}
+    assert out[0]["n_removed"] == 0  # first occurrence keeps the span
+    assert out[0]["clean_text"].endswith(boiler)
+    assert (out[1]["n_removed"], out[1]["clean_text"]) == (8, "delta epsilon zeta")
+    assert (out[2]["n_removed"], out[2]["clean_text"]) == (8, "unique tail here")
+    assert (out[3]["n_tokens"], out[3]["n_removed"]) == (2, 0)
+    assert (out[4]["n_tokens"], out[4]["clean_text"]) == (0, "")
+
+
+def test_exact_substring_dedup_merges_overlapping_spans(spark):
+    """A 10-token repeated passage yields 3 overlapping duplicated 8-grams
+    in the copy — they merge into ONE 10-token removal, not 24."""
+    from upton_spark.operators.dedup_docs import exact_substring_dedup
+
+    passage = "one two three four five six seven eight nine ten"  # 10 tokens
+    rows = [(0, passage + " original suffix"), (1, "prefix " + passage)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df, k=8).collect()}
+    assert out[0]["n_removed"] == 0
+    assert (out[1]["n_removed"], out[1]["clean_text"]) == (10, "prefix")

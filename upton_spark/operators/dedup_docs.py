@@ -19,7 +19,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 _MERSENNE = (1 << 61) - 1
 
@@ -461,4 +461,107 @@ def paragraph_dedup(
             ),
             "\n",
         ).alias("clean_text"),
+    )
+
+
+def _positional_shingle_hashes(text: str, k: int, _cache: dict) -> np.ndarray:
+    """Per-POSITION k-token shingle hashes (same md5>>2 token hash + uint64
+    sliding combine as _shingle_hashes, WITHOUT the distinct): index i
+    hashes tokens[i:i+k] of text.lower().split(). Empty for docs shorter
+    than k — no full window exists, so exact-substring dedup skips them."""
+    toks = (text or "").lower().split()
+    if len(toks) < k:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter(
+        (_tok64_md5(t, _cache) >> 2 for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    with np.errstate(over="ignore"):
+        windows = np.lib.stride_tricks.sliding_window_view(th, k)
+        weights = _SHINGLE_C ** np.arange(k, dtype=np.uint64)
+        return windows @ weights
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", public): every k-token
+    span that occurs MORE THAN ONCE corpus-wide is removed from every
+    occurrence except the globally first (min (doc_id, pos)); overlapping
+    removed spans merge, and each document is rebuilt from its surviving
+    tokens (single-space token-normalized — the contract of a token-level
+    dedup). Returns (id, n_tokens, n_removed, clean_text).
+
+    Distributed shape (vs the paper's single-node suffix array): one
+    positional-shingle explode (O(corpus tokens) rows), one hash-grouped
+    first-occurrence aggregation, a gaps-and-islands window per doc to
+    merge spans, and an array-lambda rebuild — shuffles are the shingle
+    hash exchange and the per-doc regroup, nothing pairwise. The
+    first-occurrence key is doc_id * 2^20 + pos (scalar, SQL-replayable)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def psh(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series(
+            [
+                _positional_shingle_hashes(t, k, cache).astype(np.int64).tolist()
+                for t in text
+            ]
+        )
+
+    occ = df.select(
+        F.col(id_col), F.posexplode(psh(F.col(text_col))).alias("pos", "sh")
+    )
+    key = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    firsts = occ.groupBy("sh").agg(
+        F.min(key).alias("first_key"), F.count("*").alias("n_occ")
+    )
+    spans = (
+        occ.join(firsts, "sh")
+        .filter((F.col("n_occ") > 1) & (key != F.col("first_key")))
+        .select(id_col, F.col("pos").alias("start"), (F.col("pos") + k).alias("end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_max_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(prev_max_end.isNull() | (F.col("start") > prev_max_end), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("start", "end")).alias("spans"))
+    )
+    # original-case tokens for the rebuild (hash positions align: lowering
+    # never changes whitespace); empty docs get an empty token list, not
+    # split('')'s ['']
+    toks = F.when(
+        F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    joined = df.join(islands, id_col, "left").select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.coalesce(
+            "spans", F.array().cast("array<struct<start:long,end:long>>")
+        ).alias("spans"),
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("spans"), lambda s: (i >= s["start"]) & (i < s["end"])
+    )
+    kept = F.filter(F.col("toks"), lambda x, i: ~covered(i.cast("long")))
+    return joined.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
     )
