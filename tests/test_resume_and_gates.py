@@ -579,3 +579,25 @@ def test_index_oneshot_matches_sequential_loop(spark, pages, monkeypatch):
             )
 
     assert run(force_loop=False) == run(force_loop=True)
+
+
+def test_index_fetched_materializes_without_html(spark, pages):
+    """The oneshot/speculative index materialization must stay slim: when
+    hrefs are projected in-pass (no index_fn), the html column is dropped
+    before the write — at web scale the index_fetched parquet is chain
+    metadata, not a second copy of the fetched pages."""
+    c = Crawler(spark, pages, [basic_seed()])
+    fetched = c._fetch_all_index_pages(c._empty_seen())
+    assert "html" not in fetched.columns
+    assert "hrefs" in fetched.columns
+
+    def keep_html(src):
+        from pyspark.sql import functions as F
+
+        return src.select(
+            "seed_id", F.col("page_round"), F.lit(0).alias("pos"), "url"
+        )
+
+    c2 = Crawler(spark, pages, [basic_seed()], index_fn=keep_html)
+    fetched2 = c2._fetch_all_index_pages(c2._empty_seen())
+    assert "html" in fetched2.columns  # the two-pass shape still carries it
