@@ -269,3 +269,32 @@ def test_catalog_contract_shared(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(cdf.DataFrame, "writeTo", lambda self, ident: FakeWriter(ident))
     contract(catmod.IcebergCatalog(spark))
     assert "upton.frontier" in writes and "upton.urls_seen" in writes
+
+
+def test_streaming_url_dedup_first_capture_wins(spark, tmp_path):
+    """Duplicate-url captures inside the watermark horizon collapse to the
+    first arrival; distinct urls all pass."""
+    from upton_spark.sources.fixtures import fixture_pages
+    from upton_spark.streaming.stream import pages_stream, streaming_url_dedup
+
+    base = fixture_pages(spark)
+    n_distinct = base.select("url").distinct().count()
+    doubled = base.unionByName(base)  # every url captured twice
+    path = str(tmp_path / "dup_stream")
+    doubled.write.mode("overwrite").parquet(path)
+
+    q = (
+        streaming_url_dedup(pages_stream(spark, path))
+        .writeStream.format("memory")
+        .queryName("sd")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT url FROM sd").collect()
+    finally:
+        q.stop()
+    urls = [r["url"] for r in rows]
+    assert len(urls) == n_distinct
+    assert len(set(urls)) == n_distinct

@@ -96,3 +96,15 @@ def token_bucket_stateful(stream: DataFrame, tokens_per_trigger: int = 2) -> Dat
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_url_dedup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming frontier dedup: keep the first capture of each url within
+    the watermark horizon (``dropDuplicates`` keyed on url + event time —
+    state expires with the watermark, so memory is bounded by the horizon's
+    url arrival rate, not the crawl's lifetime). The batch crawl's
+    Bloom+anti-join seen-set is the durable cross-run dedup; this is the
+    intra-stream guard in front of it."""
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
