@@ -1857,15 +1857,15 @@ class Crawler:
         semi-join."""
         if self.pages_path is None or not self.broadcast_frontier:
             return False
-        n = frontier.count()
-        if n > self.extract_prune_max_urls:
+        # one limit-probe job covers the common small-frontier case (the
+        # limit short-circuits, so a huge frontier pays ~nothing); only
+        # mid-size frontiers fall through to the footer count
+        rows = frontier.select("url").distinct().limit(10_001).collect()
+        if len(rows) <= 10_000:
+            urls = [r["url"] for r in rows if r["url"]]
+            return urls if urls else True
+        if frontier.count() > self.extract_prune_max_urls:
             return False
-        if n <= 10_000:
-            urls = [
-                r["url"] for r in frontier.select("url").distinct().collect() if r["url"]
-            ]
-            if urls:
-                return urls
         return True
 
     def lineage_df(self) -> DataFrame:
