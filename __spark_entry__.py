@@ -391,6 +391,37 @@ def q_bpe_token_stats(spark, sf_dir):
 _ESD_BOILER = "copyright footer all rights reserved contact site admin"
 
 
+def _c4_demo_text_col():
+    """Deterministic multi-line text for the C4 query: the single-line
+    corpus gets doc_id-derived lines exercising every rule — terminal
+    punctuation, min-words, the javascript line filter, and the
+    lorem-ipsum doc flag (docs with doc_id % 7 == 0)."""
+    return F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 60), F.lit(".")),
+        F.lit("short one"),
+        F.lit("please enable javascript to continue."),
+        F.concat(F.substring("text", 61, 60), F.lit("!")),
+        F.lit("no terminal punct here"),
+        F.concat(F.substring("text", 121, 60), F.lit("?")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet."))
+        .otherwise(F.lit("trailing line no punct")),
+    )
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4-style line-level cleaning (terminal-punctuation / min-words /
+    javascript line rules; lorem-ipsum / brace / min-sentences doc flag).
+    All codegen array lambdas; the oracle rebuilds the same demo lines and
+    replays every rule in SQL."""
+    from upton_spark.operators.textops import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").withColumn("text", _c4_demo_text_col())
+    return c4_clean(docs).select(
+        "doc_id", "n_lines", "n_kept_lines", "c4_kept", "clean_text"
+    )
+
+
 def q_exact_substring_dedup(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2022 shape): every duplicated
     8-token span removed from all but its globally-first occurrence. The
@@ -1144,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "chunk_documents": q_chunk_documents,
         "exact_substring_dedup": q_exact_substring_dedup,
+        "c4_clean": q_c4_clean,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2184,6 +2216,38 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),
+        "c4_clean": """
+            WITH src AS (
+              SELECT doc_id,
+                     substr(text, 1, 60) || '.'
+                     || chr(10) || 'short one'
+                     || chr(10) || 'please enable javascript to continue.'
+                     || chr(10) || substr(text, 61, 60) || '!'
+                     || chr(10) || 'no terminal punct here'
+                     || chr(10) || substr(text, 121, 60) || '?'
+                     || chr(10) || CASE WHEN doc_id % 7 = 0
+                                        THEN 'lorem ipsum dolor sit amet.'
+                                        ELSE 'trailing line no punct' END AS t
+              FROM documents
+            ), split AS (
+              SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM src
+            ), kept AS (
+              SELECT doc_id, t, lines,
+                     list_filter(lines, ln ->
+                       regexp_matches(ln, '[.!?"]\\s*$')
+                       AND len(string_split_regex(trim(ln), '\\s+')) >= 3
+                       AND NOT contains(lower(ln), 'javascript')) AS kl
+              FROM split
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kl) AS BIGINT) AS n_kept_lines,
+                   (NOT contains(lower(t), 'lorem ipsum')
+                    AND NOT contains(t, '{')
+                    AND len(kl) >= 3) AS c4_kept,
+                   array_to_string(kl, chr(10)) AS clean_text
+            FROM kept
+        """,
         "chunk_documents": """
             WITH tok AS (
               SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w

@@ -243,3 +243,36 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
     # deterministic across re-runs
     out2 = {r["doc_id"]: r["dsir_logweight"] for r in dsir_weights(df, F.col("lang") == "en", n_buckets=512).collect()}
     assert out == out2
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from upton_spark.operators.textops import c4_clean
+
+    rows = [
+        (0, "a good long sentence here.\nshort no.\nenable javascript now please.\n"
+            "another full sentence stands!\nno punct line at all\nthird proper sentence stays?"),
+        (1, "only one good sentence here."),                       # < 3 kept -> flagged
+        (2, "fine sentence number one.\nfine sentence number two!\n"
+            "fine sentence number three?\nlorem ipsum dolor sit."),  # lorem -> flagged
+        (3, "brace sentence number one {ok}.\nfine sentence number two!\n"
+            "fine sentence number three?\nfine sentence number four."),  # brace -> flagged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_clean(df).collect()}
+    assert out[0]["n_lines"] == 6 and out[0]["n_kept_lines"] == 3
+    assert out[0]["c4_kept"] is True
+    assert out[0]["clean_text"] == (
+        "a good long sentence here.\nanother full sentence stands!\nthird proper sentence stays?"
+    )
+    assert out[1]["c4_kept"] is False and out[1]["n_kept_lines"] == 1
+    assert out[2]["c4_kept"] is False and out[2]["n_kept_lines"] == 4
+    assert out[3]["c4_kept"] is False
+
+
+def test_c4_clean_all_codegen(spark):
+    from upton_spark.operators.textops import c4_clean
+
+    df = spark.createDataFrame([(0, "x.")], "doc_id long, text string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

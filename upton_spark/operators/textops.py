@@ -253,3 +253,33 @@ def chunk_documents(
         F.size("_chunk").cast("long").alias("n_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+def c4_clean(df: DataFrame, text_col: str = "text", min_words: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, public): keep only
+    lines that end in terminal punctuation (. ! ? ") and have at least
+    ``min_words`` words and don't mention javascript; flag (rather than
+    silently drop) documents that trip the doc-level rules — a
+    "lorem ipsum" occurrence, a curly brace, or fewer than 3 surviving
+    lines. Returns the input plus (n_lines, n_kept_lines, c4_kept,
+    clean_text). All codegen array lambdas over a '\\n' split — map-only,
+    no shuffle, no Python."""
+    text = F.col(text_col)
+    lines = F.split(text, r"\n")
+    line_ok = lambda ln: (  # noqa: E731
+        ln.rlike(r'[.!?"]\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, line_ok)
+    doc_ok = (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (F.size(kept) >= 3)
+    )
+    return (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_kept_lines", F.size(kept).cast("long"))
+        .withColumn("c4_kept", doc_ok)
+        .withColumn("clean_text", F.array_join(kept, "\n"))
+    )
