@@ -272,15 +272,22 @@ def semantic_dedup(
     assigned = with_ivf_cell(embeddings, centroids, vec_col).select(
         id_col, vec_col, "ivf_cell"
     )
-    a = assigned.select(
-        F.col(id_col).alias("_a"), F.col(vec_col).alias("_vec_a"), "ivf_cell"
+    # hoist each row's norm out of the pair join: the SAME _norm expression
+    # evaluated once per row instead of once per pair — operand doubles are
+    # bit-identical, so cosine (dot / (na * nb)) is unchanged while the
+    # per-pair work drops to one dot product
+    normed = assigned.withColumn("_n", _norm(F.col(vec_col)))
+    a = normed.select(
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_vec_a"),
+        F.col("_n").alias("_na"),
+        "ivf_cell",
     )
+    cos = _dot(F.col("_vec_a"), F.col(vec_col)) / (F.col("_na") * F.col("_n"))
     dupes = (
-        a.join(assigned, "ivf_cell")
+        a.join(normed, "ivf_cell")
         .filter(F.col("_a") < F.col(id_col))
-        .filter(
-            F.round(cosine_col(F.col("_vec_a"), F.col(vec_col)), 6) >= threshold
-        )
+        .filter(F.round(cos, 6) >= threshold)
         .select(id_col)
         .distinct()
     )
