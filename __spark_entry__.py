@@ -409,6 +409,31 @@ def _c4_demo_text_col():
     )
 
 
+def q_blocklist_gate(spark, sf_dir):
+    """URL blocklist gate: broadcast host-list join + codegen pattern
+    rlikes (session-id and calendar-trap urls injected deterministically;
+    blocklist = sources with length % 3 == 0)."""
+    from upton_spark.operators.webgraph import blocklist_gate
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("http://"),
+            F.col("source"),
+            F.lit("/p/"),
+            F.col("doc_id"),
+            F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("?sessionid="), F.col("doc_id")))
+            .when(F.col("doc_id") % 11 == 0, F.lit("/calendar/2024/"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    blocked_hosts = base.select("host").distinct().filter(F.length("host") % 3 == 0)
+    return blocklist_gate(
+        base, blocked_hosts, [r"[?&]sessionid=", r"/calendar/\d{4}/"]
+    ).select("doc_id", "url", "host", "blocked", "block_reason").orderBy("doc_id")
+
+
 def q_c4_clean(spark, sf_dir):
     """C4-style line-level cleaning (terminal-punctuation / min-words /
     javascript line rules; lorem-ipsum / brace / min-sentences doc flag).
@@ -1176,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "exact_substring_dedup": q_exact_substring_dedup,
         "c4_clean": q_c4_clean,
+        "blocklist_gate": q_blocklist_gate,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2216,6 +2242,29 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),
+        "blocklist_gate": """
+            WITH base AS (
+              SELECT doc_id, source AS host,
+                     'http://' || source || '/p/' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN doc_id % 5 = 0 THEN '?sessionid=' || CAST(doc_id AS VARCHAR)
+                             WHEN doc_id % 11 = 0 THEN '/calendar/2024/'
+                             ELSE '' END AS url
+              FROM documents
+            ), bl AS (
+              SELECT DISTINCT host FROM base WHERE length(host) % 3 = 0
+            ), gated AS (
+              SELECT b.doc_id, b.url, b.host,
+                     (bl.host IS NOT NULL) AS host_hit,
+                     (regexp_matches(b.url, '[?&]sessionid=')
+                      OR regexp_matches(b.url, '/calendar/\\d{4}/')) AS pat_hit
+              FROM base b LEFT JOIN bl ON b.host = bl.host
+            )
+            SELECT doc_id, url, host,
+                   (host_hit OR pat_hit) AS blocked,
+                   CASE WHEN host_hit THEN 'host'
+                        WHEN pat_hit THEN 'pattern' END AS block_reason
+            FROM gated ORDER BY doc_id
+        """,
         "c4_clean": """
             WITH src AS (
               SELECT doc_id,

@@ -163,3 +163,38 @@ def test_sitemap_urls_extracts_resolves_index_and_dedups_latest(spark):
         ("a.com", "http://a.com/p2"),
         ("b.com", "http://b.com/deep"),
     ]
+
+
+def test_blocklist_gate_host_wins_over_pattern(spark):
+    from upton_spark.operators.webgraph import blocklist_gate
+
+    frontier = spark.createDataFrame(
+        [
+            (0, "http://bad.example/p/0", "bad.example"),
+            (1, "http://ok.example/p/1?sessionid=9", "ok.example"),
+            (2, "http://bad.example/p/2?sessionid=9", "bad.example"),
+            (3, "http://ok.example/p/3", "ok.example"),
+        ],
+        "doc_id long, url string, host string",
+    )
+    bl = spark.createDataFrame([("bad.example",)], "host string")
+    out = {
+        r["doc_id"]: (r["blocked"], r["block_reason"])
+        for r in blocklist_gate(frontier, bl, [r"[?&]sessionid="]).collect()
+    }
+    assert out[0] == (True, "host")
+    assert out[1] == (True, "pattern")
+    assert out[2] == (True, "host")  # host reason wins
+    assert out[3] == (False, None)
+
+
+def test_blocklist_gate_broadcasts_host_list(spark):
+    from upton_spark.operators.webgraph import blocklist_gate
+
+    frontier = spark.createDataFrame(
+        [(i, f"http://h{i}.x/p", f"h{i}.x") for i in range(50)],
+        "doc_id long, url string, host string",
+    )
+    bl = spark.createDataFrame([("h1.x",), ("h2.x",)], "host string")
+    plan = blocklist_gate(frontier, bl, [])._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -224,3 +224,41 @@ def allocate_budget(
         )
         .drop("_num", "tw")
     )
+
+
+def blocklist_gate(
+    frontier: DataFrame,
+    blocked_hosts: DataFrame | None = None,
+    url_patterns: list[str] | None = None,
+    url_col: str = "url",
+    host_col_name: str = "host",
+) -> DataFrame:
+    """Crawl-planning URL blocklist: flag frontier rows whose host is on a
+    blocklist table (UT1-style domain lists) or whose url matches any of a
+    bounded set of Java-regex patterns (tracking endpoints, infinite
+    calendars, session-id traps). Adds ``blocked`` + ``block_reason``
+    ('host' wins over 'pattern'); the caller filters or routes.
+
+    100-TB shape: the host list (10^5-10^6 rows for real blocklists)
+    broadcast-joins onto the frontier — no frontier shuffle; the pattern
+    check is a codegen rlike chain, evaluated only on host-clean rows."""
+    out = frontier
+    if blocked_hosts is not None:
+        marks = blocked_hosts.select(
+            F.col(host_col_name), F.lit(True).alias("_host_blocked")
+        ).dropDuplicates([host_col_name])
+        out = out.join(F.broadcast(marks), host_col_name, "left")
+    else:
+        out = out.withColumn("_host_blocked", F.lit(None).cast("boolean"))
+    pat = F.lit(False)
+    for p in url_patterns or []:
+        pat = pat | F.col(url_col).rlike(p)
+    host_hit = F.coalesce("_host_blocked", F.lit(False))
+    return (
+        out.withColumn(
+            "block_reason",
+            F.when(host_hit, "host").when(~host_hit & pat, "pattern"),
+        )
+        .withColumn("blocked", F.col("block_reason").isNotNull())
+        .drop("_host_blocked")
+    )
