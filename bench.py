@@ -158,6 +158,10 @@ HEADLINE_QUERIES = [
     "sequence_pack",
     "dsir_weights",
     "pii_scrub",
+    "exact_substring_dedup",
+    "chunk_documents",
+    "c4_clean",
+    "blocklist_gate",
 ]
 
 

@@ -198,3 +198,58 @@ def test_blocklist_gate_broadcasts_host_list(spark):
     bl = spark.createDataFrame([("h1.x",), ("h2.x",)], "host string")
     plan = blocklist_gate(frontier, bl, [])._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lifecycle_plan_to_admission(spark):
+    """Planning feeds scheduling end-to-end: two crawl generations diff ->
+    re-fetch frontier (added+changed) -> blocklist gate -> per-host budget
+    from host weights -> politeness admission consumes the budget as its
+    token column. Each stage is the real operator; the glue is plain
+    DataFrame code — the composition a production re-crawl runs."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.politeness import admit_per_host
+    from upton_spark.operators.webgraph import (
+        allocate_budget,
+        blocklist_gate,
+        snapshot_diff,
+    )
+
+    def gen(rows):
+        return spark.createDataFrame(rows, "url string, content_hash string")
+
+    old = gen([(f"http://h{i % 3}.x/p{i}", f"v1-{i}") for i in range(12)])
+    new = gen(
+        [(f"http://h{i % 3}.x/p{i}", f"v1-{i}" if i % 2 else f"v2-{i}") for i in range(12)]
+        + [("http://h9.x/p99", "v1-99")]  # added page on a blocked host
+    )
+    diff = snapshot_diff(old, new)
+    refetch = diff.filter(F.col("status").isin("added", "changed")).withColumn(
+        "host", F.regexp_extract("url", r"http://([^/]+)/", 1)
+    )
+    gated = blocklist_gate(refetch, spark.createDataFrame([("h9.x",)], "host string"))
+    clean = gated.filter(~F.col("blocked"))
+    budgets = allocate_budget(
+        clean.groupBy("host").agg(F.count("*").alias("n_docs")),
+        total_budget=4,
+        floor=1,
+        cap=2,
+    )
+    admitted = admit_per_host(
+        clean.join(F.broadcast(budgets.select("host", F.col("budget").alias("host_tokens"))), "host"),
+        order_cols=("url",),
+    )
+    rows = admitted.collect()
+    # the blocked-host page never reached admission
+    assert all(r["host"] != "h9.x" for r in rows)
+    # every changed page is in the candidate set; admission respects budgets
+    per_host_admitted = {}
+    for r in rows:
+        if r["admitted"]:
+            per_host_admitted[r["host"]] = per_host_admitted.get(r["host"], 0) + 1
+    budget_map = {r["host"]: r["budget"] for r in budgets.collect()}
+    assert per_host_admitted and all(
+        n <= budget_map[h] for h, n in per_host_admitted.items()
+    )
+    # deferred rows exist when a host's changed pages exceed its budget
+    assert any(not r["admitted"] for r in rows)
