@@ -136,3 +136,36 @@ class TestRobotsFromPages:
         result = Crawler(spark, pages, seeds, robots=rules).crawl()
         statuses = {r["url"]: r["status"] for r in result.frontier.collect()}
         assert statuses[f"{BASE}/prosecutor.html"] == "blocked"
+
+
+def test_sitemaps_from_robots_directive_extraction(spark):
+    """Sitemap: directives (any case/indent) extracted per host from the
+    corpus's robots.txt captures; commented lines and non-robots pages
+    ignored; latest capture wins."""
+    import datetime
+
+    from upton_spark.operators.robots import sitemaps_from_robots
+
+    old = b"Sitemap: http://h0.x/old.xml\n"
+    new = (
+        b"User-agent: *\nDisallow: /private\n"
+        b"Sitemap: http://h0.x/sitemap.xml\n"
+        b" sitemap : http://h0.x/sitemap2.xml.gz\n"
+        b"# Sitemap: http://h0.x/commented.xml\n"
+    )
+    rows = [
+        ("http://h0.x/robots.txt", datetime.datetime(2023, 1, 1), old, "", "en"),
+        ("http://h0.x/robots.txt", datetime.datetime(2024, 1, 1), new, "", "en"),
+        ("http://h1.x/robots.txt", datetime.datetime(2024, 1, 1), b"User-agent: *\nAllow: /", "", "en"),
+        ("http://h0.x/page.html", datetime.datetime(2024, 1, 1), b"Sitemap: http://nope.x/s.xml", "", "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"]) for r in sitemaps_from_robots(df).collect()
+    )
+    assert got == [
+        ("h0.x", "http://h0.x/sitemap.xml"),
+        ("h0.x", "http://h0.x/sitemap2.xml.gz"),
+    ]

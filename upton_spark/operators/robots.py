@@ -305,3 +305,34 @@ def crawl_delays(robots: DataFrame | None, agent: str = "*") -> DataFrame | None
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
+
+
+def sitemaps_from_robots(pages: DataFrame) -> DataFrame:
+    """(host, sitemap_url) from ``Sitemap:`` directives in the corpus's own
+    robots.txt captures — the discovery glue between robots ingestion and
+    the sitemap seed source (feed the urls to sources.sitemap). Sitemap is
+    an agent-independent REP directive, so this is a pure codegen extract:
+    filter to /robots.txt rows, dedup-latest per host, regexp over the
+    decoded body — no Python parse, no driver transit."""
+    from pyspark.sql import Window
+
+    robots_rows = pages.filter(F.col("url").endswith("/robots.txt")).withColumn(
+        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    )
+    w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc_nulls_last())
+    latest = (
+        robots_rows.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", F.col("html").cast("string").alias("body"))
+    )
+    return (
+        latest.select(
+            "host",
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("body"), F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), F.lit(1)
+                )
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
