@@ -171,3 +171,24 @@ def test_semantic_dedup_plan_no_cartesian(emb):
     cent = train_ivf_centroids(emb, dim=DIM, n_centroids=4, sample_mod=1)
     plan = semantic_dedup(emb, cent, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_sub_buckets_are_contained(spark):
+    """sub_planes splits hot cells for pair cost; its drop set must be a
+    subset of the exact-cell drop set (cross-bucket pairs are the recall
+    trade), and near-identical vectors still dedup (they share the
+    signature)."""
+    from upton_spark.operators.similarity import semantic_dedup
+
+    rows = [(i, _vec(i)) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = train_ivf_centroids(df, dim=DIM, n_centroids=4, sample_mod=1)
+    kept_exact = {r["vec_id"] for r in semantic_dedup(df, cent, threshold=0.9).collect()}
+    kept_sub = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cent, threshold=0.9, sub_planes=4).collect()
+    }
+    dropped_exact = set(range(N)) - kept_exact
+    dropped_sub = set(range(N)) - kept_sub
+    assert dropped_sub <= dropped_exact
+    assert dropped_sub  # the perturbed cluster-mates still collide

@@ -251,6 +251,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_planes: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings with the k-means coarse quantizer, compute pairwise
@@ -268,10 +269,22 @@ def semantic_dedup(
     100-TB shape: the only shuffle is the cluster-key exchange; pair work is
     proportional to cluster density, never all-pairs. The quantizer trains
     on a bounded sample (train_ivf_centroids); assignment is one Arrow-batch
-    matmul per partition."""
+    matmul per partition. When the corpus has HOT cells (a k-means cell
+    can collect a constant fraction of a skewed corpus, making O(cell²)
+    explode), ``sub_planes > 0`` splits every cell by a quantized-
+    hyperplane signature and pairs only within (cell, sub-bucket) — a
+    recall-for-cost trade (near-dups almost always share the signature;
+    cross-bucket pairs are missed), found ⊆ the exact-cell result by
+    construction."""
     assigned = with_ivf_cell(embeddings, centroids, vec_col).select(
         id_col, vec_col, "ivf_cell"
     )
+    pair_keys = ["ivf_cell"]
+    if sub_planes > 0:
+        assigned = with_lsh_bucket(
+            assigned, dim=len(centroids[0]), n_planes=sub_planes, vec_col=vec_col
+        ).withColumnRenamed("lsh_bucket", "_sub")
+        pair_keys.append("_sub")
     # hoist each row's norm out of the pair join: the SAME _norm expression
     # evaluated once per row instead of once per pair — operand doubles are
     # bit-identical, so cosine (dot / (na * nb)) is unchanged while the
@@ -281,11 +294,11 @@ def semantic_dedup(
         F.col(id_col).alias("_a"),
         F.col(vec_col).alias("_vec_a"),
         F.col("_n").alias("_na"),
-        "ivf_cell",
+        *pair_keys,
     )
     cos = _dot(F.col("_vec_a"), F.col(vec_col)) / (F.col("_na") * F.col("_n"))
     dupes = (
-        a.join(normed, "ivf_cell")
+        a.join(normed, pair_keys)
         .filter(F.col("_a") < F.col(id_col))
         .filter(F.round(cos, 6) >= threshold)
         .select(id_col)
