@@ -276,3 +276,37 @@ def test_c4_clean_all_codegen(spark):
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Coverage property over varied lengths: concatenating each doc's
+    chunks with overlap removed reproduces the token sequence exactly."""
+    from upton_spark.operators.textops import chunk_documents
+
+    rows = [(n, " ".join(f"w{n}_{i}" for i in range(n))) for n in (1, 3, 4, 5, 7, 48, 49, 95, 97)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    window, stride = 48, 32
+    chunks = {}
+    for r in chunk_documents(df, window=window, stride=stride).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk_text"].split(" ")
+    for n, text in rows:
+        got = chunks[n]
+        rebuilt = list(got[0])
+        for k in range(1, len(got)):
+            overlap = window - stride if len(got[k]) == window or k < len(got) - 1 else 0
+            # chunk k starts at k*stride: tokens beyond the already-covered
+            # prefix are exactly got[k][len(rebuilt)-k*stride:]
+            rebuilt.extend(got[k][len(rebuilt) - k * stride:])
+        assert rebuilt == text.split(" "), n
+
+
+def test_pii_scrub_idempotent(spark):
+    from upton_spark.operators.textops import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "a@b.io calls +1-222-3333 from 10.0.0.1")], "doc_id long, text string"
+    )
+    once = pii_scrub(df).select(F.col("clean_text").alias("text"), "doc_id")
+    twice = pii_scrub(once).collect()[0]
+    assert twice["clean_text"] == "<EMAIL> calls <PHONE> from <IP>"
+    assert twice["n_emails"] == 0 and twice["n_ips"] == 0 and twice["n_phones"] == 0
