@@ -298,3 +298,47 @@ def test_streaming_url_dedup_first_capture_wins(spark, tmp_path):
     urls = [r["url"] for r in rows]
     assert len(urls) == n_distinct
     assert len(set(urls)) == n_distinct
+
+
+def test_real_wav_decode_end_to_end(spark):
+    """decoder_available('wav')==True via the stdlib wave module: PCM16
+    sine-tone WAVs flow through decode_and_featurize with decoder='real';
+    a silent tone maps to mean 0.5 amplitude, a full-scale square wave
+    spans the [0,1] range."""
+    import io
+    import struct as _struct
+    import wave
+
+    import numpy as np
+
+    from upton_spark.operators import multimodal
+
+    def wav_bytes(samples: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    silence = np.zeros(512, dtype=np.int16)
+    ramp = np.linspace(-32000, 32000, 512).astype(np.int16)
+    rows = [
+        (0, "http://media.example.org/audio/0", wav_bytes(silence),
+         ("audio", "wav", None, None, 512)),
+        (1, "http://media.example.org/audio/1", wav_bytes(ramp),
+         ("audio", "wav", None, None, 512)),
+    ]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA)
+    feats = {
+        r["asset_id"]: r
+        for r in multimodal.decode_and_featurize(
+            media, resize_to=(8, 8), decoder="real"
+        ).collect()
+    }
+    assert abs(feats[0]["mean_intensity"] - 0.5) < 1e-6
+    f1 = feats[1]["feature"]
+    assert max(f1) > 0.97 and min(f1) < 0.03
+    assert len(f1) == 64
+    assert multimodal.decoder_available("wav")

@@ -44,9 +44,10 @@ MEDIA = T.StructType(
 
 def decoder_available(fmt: str = "png") -> bool:
     """True when a real decoder exists for ``fmt``: PNG always (the vendored
-    pure-stdlib codec in operators.png_codec), anything else only when an
-    image library is importable (this container ships none)."""
-    if (fmt or "").lower() == "png":
+    pure-stdlib codec in operators.png_codec), WAV always (the stdlib
+    ``wave`` module), anything else only when an image library is
+    importable (this container ships none)."""
+    if (fmt or "").lower() in ("png", "wav"):
         return True
     try:  # pragma: no cover - environment-dependent
         import PIL.Image  # noqa: F401
@@ -56,13 +57,45 @@ def decoder_available(fmt: str = "png") -> bool:
         return False
 
 
+def _decode_wav_grid(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
+    """Real WAV decode via the stdlib ``wave`` module: PCM samples →
+    channel-mean mono → amplitude mapped to [0, 1] → evenly-resampled to
+    h*w points reshaped as the (h, w) grid the feature stage consumes (the
+    audio sibling of the image resize — same output contract, so every
+    downstream stage is shared)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wv:
+        sw, ch, n = wv.getsampwidth(), wv.getnchannels(), wv.getnframes()
+        raw = wv.readframes(n)
+    if sw == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    if arr.size == 0:
+        raise NotImplementedError("empty WAV payload")
+    amp = (arr + 1.0) / 2.0
+    h, w = out_hw
+    idx = (np.arange(h * w) * arr.size) // (h * w)
+    return amp[idx].reshape(h, w)
+
+
 def _real_decode(payload: bytes, fmt: str, out_hw: tuple[int, int]) -> np.ndarray:
-    """Real decode+resize for formats with an available decoder (currently
-    the vendored PNG codec): bytes → (h, w) float grid in [0, 1], resized by
-    block/repeat sampling (no interpolation library in the container)."""
+    """Real decode+resize for formats with an available decoder (the
+    vendored PNG codec; the stdlib wave module): bytes → (h, w) float grid
+    in [0, 1], resized by block/repeat sampling (no interpolation library
+    in the container)."""
     from upton_spark.operators.png_codec import decode_png_grey
 
-    if (fmt or "").lower() != "png":
+    fmt = (fmt or "").lower()
+    if fmt == "wav":
+        return _decode_wav_grid(payload, out_hw)
+    if fmt != "png":
         raise NotImplementedError(f"no decoder for format {fmt!r} in this container")
     grid = decode_png_grey(payload)
     h, w = out_hw
