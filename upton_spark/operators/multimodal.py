@@ -171,7 +171,8 @@ def decode_and_featurize(
         if missing:
             raise NotImplementedError(
                 f"no real decoder for formats {missing} in this container "
-                "(vendored codec covers png; install an image library for the rest)"
+                "(vendored codec covers png, stdlib wave covers wav; "
+                "install an image library for the rest)"
             )
     h, w = resize_to
     schema = (
