@@ -228,3 +228,38 @@ def test_extract_builds_only_present_kind_branches(spark):
     assert plan.count("extract_text_udf") == 1
     assert "extract_table_udf" not in plan
     assert "extract_list_udf" not in plan
+
+
+def test_prescan_in_pushdown_prunes_files(spark, tmp_path):
+    """Driver-known candidate urls prescan as an IN predicate pushed to the
+    parquet scan (row-group stats prune it), and the matched-file list is a
+    strict subset of the corpus files."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    path = str(tmp_path / "corpus")
+    fixture_pages(spark).repartition(8, "url").write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    seeds = [
+        SeedSpec(0, seed_url=f"{BASE}/propublica.html",
+                 index_selector="section#river section h1 a",
+                 extract_selector="h1", extract_kind="text",
+                 sleep_time_between_requests=0.0)
+    ]
+    crawler = Crawler(spark, pages, seeds, assume_unique_urls=True, pages_path=path)
+    key_urls = [f"{BASE}/propublica.html"]
+    files = crawler._prune_file_list(
+        spark.createDataFrame([(u,) for u in key_urls], "url string"),
+        "url",
+        key_urls=key_urls,
+    )
+    assert files is not None
+    assert 0 < len(files) < len(pages.inputFiles())
+    probe = pages.filter(F.col("url").isin(key_urls)).select(F.input_file_name())
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # a single-url IN folds to EqualTo; either way the url predicate must
+    # appear inside the scan's PushedFilters
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(url" in pushed or "EqualTo(url" in pushed
