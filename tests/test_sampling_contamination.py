@@ -310,3 +310,46 @@ def test_pii_scrub_idempotent(spark):
     twice = pii_scrub(once).collect()[0]
     assert twice["clean_text"] == "<EMAIL> calls <PHONE> from <IP>"
     assert twice["n_emails"] == 0 and twice["n_ips"] == 0 and twice["n_phones"] == 0
+
+
+def test_pack_sequences_matches_reference_walk_on_random_corpora(spark):
+    """Property vs a plain-python reference: for randomized token counts
+    (hypothesis-driven, deterministic profile), the distributed per-shard
+    walk reproduces greedy first-fit exactly and never overfills a bin
+    except the single-oversized-doc case."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from upton_spark.operators.sampling import pack_sequences
+
+    CAP, SHARDS = 64, 4
+
+    def reference(rows):
+        bins = {}
+        state = {}
+        for doc_id, tok in sorted(rows):
+            sh = doc_id % SHARDS
+            cum, b = state.get(sh, (0, 0))
+            if cum > 0 and cum + tok > CAP:
+                b, cum = b + 1, 0
+            bins[doc_id] = b
+            state[sh] = (cum + tok, b)
+        return bins
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=40)
+    )
+    def run(toks):
+        rows = [(i, n) for i, n in enumerate(toks)]
+        df = spark.createDataFrame(
+            [(i, " ".join("w" for _ in range(n)) if n else "") for i, n in rows],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_sequences(df, capacity=CAP, n_shards=SHARDS).collect()
+        }
+        assert got == reference(rows)
+
+    run()
