@@ -240,3 +240,51 @@ def test_exact_substring_dedup_merges_overlapping_spans(spark):
     out = {r["doc_id"]: r for r in exact_substring_dedup(df, k=8).collect()}
     assert out[0]["n_removed"] == 0
     assert (out[1]["n_removed"], out[1]["clean_text"]) == (10, "prefix")
+
+
+def test_paragraph_dedup_matches_reference_on_random_corpora(spark):
+    """Property vs a plain-python reference on small random vocabularies
+    (forced collisions): first-occurrence keep rule and ordered rebuild."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from upton_spark.operators.dedup_docs import paragraph_dedup
+
+    W = 3
+
+    def reference(texts):
+        seen = {}
+        out = {}
+        paras_by_doc = {}
+        for doc_id, text in enumerate(texts):
+            toks = text.split(" ")
+            paras = [
+                " ".join(toks[k * W:(k + 1) * W])
+                for k in range((len(toks) + W - 1) // W)
+            ]
+            paras_by_doc[doc_id] = paras
+            for pos, p in enumerate(paras):
+                seen.setdefault(p, doc_id * (1 << 20) + pos)
+        for doc_id, paras in paras_by_doc.items():
+            kept = [
+                p for pos, p in enumerate(paras)
+                if seen[p] == doc_id * (1 << 20) + pos
+            ]
+            out[doc_id] = (len(paras), len(kept), "\n".join(kept))
+        return out
+
+    word = st.sampled_from(["a", "b", "c"])
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=12), min_size=1, max_size=8))
+    def run(docs):
+        texts = [" ".join(ws) for ws in docs]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"], r["clean_text"])
+            for r in paragraph_dedup(df, words_per_para=W).collect()
+        }
+        assert got == reference(texts)
+
+    run()
