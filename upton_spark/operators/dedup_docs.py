@@ -502,7 +502,14 @@ def exact_substring_dedup(
     first-occurrence aggregation, a gaps-and-islands window per doc to
     merge spans, and an array-lambda rebuild — shuffles are the shingle
     hash exchange and the per-doc regroup, nothing pairwise. The
-    first-occurrence key is doc_id * 2^20 + pos (scalar, SQL-replayable)."""
+    first-occurrence key is doc_id * 2^20 + pos (scalar, SQL-replayable).
+
+    The shingle UDF evaluates twice (once under the firsts aggregation,
+    once on the join probe) — deliberate: a min/count window over sh would
+    evaluate once but buffers each shingle's occurrence list in ONE task,
+    and a viral boilerplate shingle has unbounded occurrence counts; the
+    groupBy keeps partial aggregation (skew-safe) at the price of one
+    extra cheap map pass."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def psh(text: pd.Series) -> pd.Series:
