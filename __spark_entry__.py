@@ -409,6 +409,38 @@ def _c4_demo_text_col():
     )
 
 
+def q_link_anchors(spark, sf_dir):
+    """Anchor-text link projection: the REAL html parser + url resolver run
+    over deterministically constructed markup (one resolved href + one
+    bare anchor per doc), so the oracle can state the expected (href,
+    anchor) rows directly — parser and resolver are what's under test."""
+    from upton_spark.functions.udfs import extract_anchors_udf
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p><a href="/p/'),
+            F.col("doc_id"),
+            F.lit('">anchor '),
+            F.col("doc_id"),
+            F.lit('</a><a class="x">bare</a></p></body></html>'),
+        ).alias("html"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/")).alias("base"),
+    )
+    rows = docs.select(
+        "doc_id",
+        F.posexplode(
+            extract_anchors_udf(F.col("html"), F.lit("p a"), F.col("base"))
+        ).alias("pos", "a"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("a.href").alias("href"),
+        F.col("a.anchor").alias("anchor"),
+    ).orderBy("doc_id", "pos")
+
+
 def q_blocklist_gate(spark, sf_dir):
     """URL blocklist gate: broadcast host-list join + codegen pattern
     rlikes (session-id and calendar-trap urls injected deterministically;
@@ -1202,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": q_exact_substring_dedup,
         "c4_clean": q_c4_clean,
         "blocklist_gate": q_blocklist_gate,
+        "link_anchors": q_link_anchors,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2242,6 +2275,13 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),
+        "link_anchors": """
+            SELECT doc_id, CAST(k AS INT) AS pos,
+                   CASE WHEN k = 0 THEN 'http://' || source || '/p/' || CAST(doc_id AS VARCHAR) END AS href,
+                   CASE WHEN k = 0 THEN 'anchor ' || CAST(doc_id AS VARCHAR) ELSE 'bare' END AS anchor
+            FROM documents, unnest(range(0, 2)) AS t(k)
+            ORDER BY doc_id, pos
+        """,
         "blocklist_gate": """
             WITH base AS (
               SELECT doc_id, source AS host,

@@ -135,3 +135,31 @@ class TestDecodeAndSelectorEngine:
     def test_xpath_attribute_equality(self):
         root = parse_html("<div><a id='q'>1</a><a>2</a></div>")
         assert len(search(root, "//a[@id='q']")) == 1
+
+
+def test_extract_anchors_fixture_goldens():
+    """(href, anchor text) pairs on the reference index fixture: the four
+    golden headlines with their resolved instance urls, in DOM order."""
+    from upton_spark.html.extract import extract_anchors
+
+    html = open("/root/reference/spec/data/propublica.html").read()
+    got = extract_anchors(
+        html, "section#river section h1 a", "http://www.example.com/propublica.html"
+    )
+    assert [h for h, _ in got] == [
+        "http://www.example.com/webinar.html",
+        "http://www.example.com/discussion.html",
+        "http://www.example.com/prosecutor.html",
+        "http://www.example.com/sixfacts.html",
+    ]
+    assert got[0][1] == "Webinar: How to Use Prescriber Checkup to Power Your Reporting"
+    assert got[3][1] == "Six Facts Lost in the IRS Scandal"
+
+
+def test_extract_anchors_preserves_missing_href():
+    from upton_spark.html.extract import extract_anchors
+
+    got = extract_anchors(
+        '<p><a href="x.html">one</a><a name="n">two</a></p>', "p a", "http://h.x/base/"
+    )
+    assert got == [("http://h.x/base/x.html", "one"), (None, "two")]

@@ -140,3 +140,32 @@ def url_hash_cols(url_col):
     """(xxhash64, murmur3) pair for Bloom double-hashing — both computed
     JVM-side (SURVEY.md §2.8 murmur3 mandate)."""
     return F.xxhash64(url_col), F.hash(url_col)
+
+
+@F.pandas_udf(
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType(), True),
+                T.StructField("anchor", T.StringType(), True),
+            ]
+        )
+    )
+)
+def extract_anchors_udf(
+    html: pd.Series, selector: pd.Series, base_url: pd.Series
+) -> pd.Series:
+    """(href, anchor text) structs per page, document order, hrefs resolved
+    and NULL-preserved — the anchor-text link projection for web-graph
+    planning."""
+    return pd.Series(
+        [
+            [
+                {"href": href, "anchor": anchor}
+                for href, anchor in extract.extract_anchors(_decode(h), s, b)
+            ]
+            if s
+            else []
+            for h, s, b in zip(html, selector, base_url)
+        ]
+    )

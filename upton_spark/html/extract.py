@@ -107,3 +107,22 @@ def extract_table(html: str, table_selector: str) -> list[list[str]]:
     for tr in css_select_many(matched, "tr"):
         output.append([text_of(td) for td in css_select_many([tr], "td")])
     return output
+
+
+def extract_anchors(
+    html: str, selector: str, base_url: str
+) -> list[tuple[str | None, str]]:
+    """(resolved href | None, element text) per matched element in document
+    order — the link-graph-with-anchor-text projection crawl planning
+    consumes (anchor text is the classic relevance signal for frontier
+    prioritization). DOM engine (href+text together needs the tree; the
+    split SAX streams would double-scan)."""
+    if not html:
+        return []
+    out: list[tuple[str | None, str]] = []
+    for el in search(parse_html(html), selector):
+        href = el.get("href")
+        out.append(
+            (resolve_url_or_none(href, base_url) if href is not None else None, text_of(el))
+        )
+    return out
