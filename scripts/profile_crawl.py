@@ -3,7 +3,7 @@
 Usage: python scripts/profile_crawl.py <cores>
 
 Breaks the scaling-bench workload (scripts/scaling_bench.py) into its
-driver-visible phases so the 2-core vs 8-core comparison shows which phase
+driver-visible phases so the N- vs 4N-core comparison (see scaling_bench.py) shows which phase
 fails to scale (serial driver work vs parallel extraction work). Run it at
 two levels and diff the phase columns.
 """
