@@ -36,13 +36,14 @@ class TestMultimodal:
             assert n == (durations[aid] - 1) // 1000 + 1
 
     def test_decoder_stub_gate(self, spark, monkeypatch):
-        if multimodal.decoder_available("wav"):
+        if multimodal.decoder_available("mp4"):
             pytest.skip("real decoder present for every format")
-        # synth media mixes png/wav/mp4; only png has a vendored decoder, so
-        # requiring real decode must fail eagerly naming the gap
+        # synth media mixes png/wav/mp4; png (vendored codec) and wav
+        # (stdlib wave) decode for real, so requiring real decode must fail
+        # eagerly naming exactly the remaining gap
         media = multimodal.synth_media(spark, 3)
         monkeypatch.setenv("UPTON_SPARK_REQUIRE_DECODER", "1")
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(NotImplementedError, match=r"\['mp4'\]"):
             multimodal.decode_and_featurize(media)
 
     def test_real_png_decode_end_to_end(self, spark):
