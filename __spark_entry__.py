@@ -409,6 +409,29 @@ def _c4_demo_text_col():
     )
 
 
+def q_revisit_intervals(spark, sf_dir):
+    """Adaptive revisit scheduling over the snapshot diff: changed pages
+    halve their interval, unchanged double (clamped), added start at base,
+    removed drop. Same two deterministic generations as
+    crawl_snapshot_diff; integer arithmetic end-to-end."""
+    from upton_spark.operators.webgraph import revisit_intervals, snapshot_diff
+
+    docs = _docs_with_url(_t(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "url", F.md5("text").alias("content_hash")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "url",
+        F.md5(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("v2")).otherwise(F.lit("")),
+            )
+        ).alias("content_hash"),
+    )
+    return revisit_intervals(snapshot_diff(old, new)).orderBy("url")
+
+
 def q_link_anchors(spark, sf_dir):
     """Anchor-text link projection: the REAL html parser + url resolver run
     over deterministically constructed markup (one resolved href + one
@@ -1235,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "blocklist_gate": q_blocklist_gate,
         "link_anchors": q_link_anchors,
+        "revisit_intervals": q_revisit_intervals,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "exact_dup_groups": q_exact_dup_groups,
         "benchmark_contamination": q_benchmark_contamination,
@@ -2275,6 +2299,29 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),
+        "revisit_intervals": """
+            WITH d AS (
+              SELECT doc_id, source || '/' || CAST(doc_id AS VARCHAR) AS url, text
+              FROM documents
+            ), old AS (
+              SELECT url, md5(text) AS old_hash FROM d WHERE doc_id % 7 <> 0
+            ), new AS (
+              SELECT url, md5(text || CASE WHEN doc_id % 3 = 0 THEN 'v2' ELSE '' END) AS new_hash
+              FROM d WHERE doc_id % 5 <> 0
+            ), j AS (
+              SELECT url,
+                     CASE WHEN old_hash IS NULL THEN 'added'
+                          WHEN new_hash IS NULL THEN 'removed'
+                          WHEN old_hash <> new_hash THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM old FULL OUTER JOIN new USING (url)
+            )
+            SELECT url, status,
+                   CAST(CASE WHEN status = 'changed' THEN greatest(1, floor(24/2))
+                             WHEN status = 'unchanged' THEN least(720, 24*2)
+                             ELSE 24 END AS BIGINT) AS interval_hours
+            FROM j WHERE status <> 'removed' ORDER BY url
+        """,
         "link_anchors": """
             SELECT doc_id, CAST(k AS INT) AS pos,
                    CASE WHEN k = 0 THEN 'http://' || source || '/p/' || CAST(doc_id AS VARCHAR) END AS href,

@@ -253,3 +253,30 @@ def test_lifecycle_plan_to_admission(spark):
     )
     # deferred rows exist when a host's changed pages exceed its budget
     assert any(not r["admitted"] for r in rows)
+
+
+def test_revisit_intervals_adaptive_rules(spark):
+    """Changed halves (clamped at min), unchanged doubles (clamped at max),
+    added starts at base, removed drops; prev intervals carry through."""
+    from upton_spark.operators.webgraph import revisit_intervals
+
+    diff = spark.createDataFrame(
+        [("u1", "changed"), ("u2", "unchanged"), ("u3", "added"), ("u4", "removed"),
+         ("u5", "changed"), ("u6", "unchanged")],
+        "url string, status string",
+    )
+    prev = spark.createDataFrame(
+        [("u1", 3), ("u2", 500), ("u5", 1), ("u6", 10)],
+        "url string, interval_hours long",
+    )
+    out = {
+        r["url"]: r["interval_hours"]
+        for r in revisit_intervals(diff, prev, base_hours=24, min_hours=1, max_hours=720).collect()
+    }
+    assert out == {
+        "u1": 1,    # floor(3/2) = 1
+        "u2": 720,  # 1000 clamped to max
+        "u3": 24,   # added -> base
+        "u5": 1,    # floor(1/2)=0 clamped up to min
+        "u6": 20,
+    }

@@ -262,3 +262,44 @@ def blocklist_gate(
         .withColumn("blocked", F.col("block_reason").isNotNull())
         .drop("_host_blocked")
     )
+
+
+def revisit_intervals(
+    diff: DataFrame,
+    prev: DataFrame | None = None,
+    base_hours: int = 24,
+    min_hours: int = 1,
+    max_hours: int = 24 * 30,
+    url_col: str = "url",
+) -> DataFrame:
+    """Adaptive revisit scheduling (Cho & Garcia-Molina-style exponential
+    adjustment, public): pages that CHANGED between crawl generations halve
+    their revisit interval, UNCHANGED pages double it (both clamped),
+    ADDED pages start at ``base_hours``, REMOVED pages drop out. ``prev``
+    optionally carries the last (url, interval_hours); absent rows start
+    from base. Integer halving/doubling — bit-stable across engines.
+
+    100-TB shape: one key-partitioned left join onto the diff (both sides
+    bucket by url hash at scale) and a codegen CASE — no driver state."""
+    out = diff.filter(F.col("status") != "removed")
+    if prev is not None:
+        out = out.join(
+            prev.select(url_col, F.col("interval_hours").alias("_prev")),
+            url_col,
+            "left",
+        )
+    else:
+        out = out.withColumn("_prev", F.lit(None).cast("long"))
+    cur = F.coalesce(F.col("_prev"), F.lit(int(base_hours))).cast("long")
+    # floor-halving keeps everything integer (double->long casts TRUNCATE
+    # on Spark but ROUND on some engines — floor is unambiguous)
+    interval = (
+        F.when(
+            F.col("status") == "changed",
+            F.greatest(F.lit(int(min_hours)).cast("long"), F.floor(cur / 2)),
+        )
+        .when(F.col("status") == "unchanged", F.least(F.lit(int(max_hours)).cast("long"), cur * 2))
+        .otherwise(F.lit(int(base_hours)))
+        .cast("long")
+    )
+    return out.select(url_col, "status", interval.alias("interval_hours"))
