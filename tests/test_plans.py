@@ -263,3 +263,35 @@ def test_prescan_in_pushdown_prunes_files(spark, tmp_path):
     # appear inside the scan's PushedFilters
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "In(url" in pushed or "EqualTo(url" in pushed
+
+
+def test_body_join_prunes_corpus_scan_to_url_html(spark, tmp_path):
+    """The extraction body join must column-prune the PARQUET corpus scan
+    to (url, html) — a scan reading text/lang/warc_ts for a 2-column probe
+    would move the whole corpus at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    path = str(tmp_path / "corpus")
+    fixture_pages(spark).write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    seeds = [
+        SeedSpec(0, url_list=[f"{BASE}/webinar.html"], extract_selector="h1",
+                 extract_kind="text", sleep_time_between_requests=0.0)
+    ]
+    crawler = Crawler(spark, pages, seeds, assume_unique_urls=True)
+    frontier = crawler.build_frontier(
+        spark.createDataFrame([], "seed_id int, page_round int, pos int, url string")
+    )
+    plan = crawler.attach_bodies(frontier)._jdf.queryExecution().executedPlan().toString()
+    corpus_scans = [
+        seg.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+        for seg in plan.split("FileScan parquet ")[1:]
+        if "corpus" in seg.split("Location", 1)[1][:200]
+    ]
+    assert corpus_scans, plan
+    for rs in corpus_scans:
+        assert "text" not in rs and "lang" not in rs and "warc_ts" not in rs, rs
+    assert any("html:binary" in rs for rs in corpus_scans)
