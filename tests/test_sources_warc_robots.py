@@ -169,3 +169,39 @@ def test_sitemaps_from_robots_directive_extraction(spark):
         ("h0.x", "http://h0.x/sitemap.xml"),
         ("h0.x", "http://h0.x/sitemap2.xml.gz"),
     ]
+
+
+def test_wet_round_trip_and_pipeline(spark, tmp_path):
+    """WET write -> distributed read round-trips (url, ts, text) including
+    unicode and empty text; and the html->extract->WET->read pipeline
+    carries the engine's extraction output in Common Crawl's text format."""
+    from datetime import datetime
+
+    from upton_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        ("http://a.com/1", datetime(2024, 3, 1, 12, 0, 0), "plain text body"),
+        ("http://a.com/2", datetime(2024, 3, 2, 0, 0, 0), "unicode é中文 text\nwith newline"),
+        ("http://b.com/3", datetime(2024, 3, 3, 6, 30, 0), ""),
+    ]
+    p = str(tmp_path / "x.wet.gz")
+    write_wet(rows, p)
+    got = sorted(map(tuple, read_wet(spark, p).collect()))
+    assert got == sorted(rows)
+
+    # pipeline: extraction output of the fixture crawl shipped as WET
+    from upton_spark.crawler import Crawler
+    from upton_spark.sources.fixtures import fixture_pages
+    from tests.test_resume_and_gates import basic_seed
+
+    res = Crawler(spark, fixture_pages(spark), [basic_seed()], clock="2024-03-01 12:00:00").crawl()
+    ext = [
+        (r["url"], datetime(2024, 3, 1, 12, 0, 0), r["text"])
+        for r in res.extracted.orderBy("instance_index").collect()
+    ]
+    p2 = str(tmp_path / "extracted.wet")
+    write_wet(ext, p2)
+    back = read_wet(spark, p2)
+    assert back.count() == len(ext)
+    texts = {r["text"] for r in back.collect()}
+    assert "Six Facts Lost in the IRS Scandal" in texts

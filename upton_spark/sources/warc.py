@@ -105,17 +105,25 @@ def pages_rows_from_warc(path: str):
             yield (url, _parse_warc_date(headers.get("warc-date")), body, None, None)
 
 
-def read_warc(spark: SparkSession, paths: str | list[str], tasks: int | None = None) -> DataFrame:
-    """WARC file(s)/glob → PAGES DataFrame, parsed task-parallel.
-
-    The driver holds only the FILE LIST (cheap even at 10^5 archives); each
-    task opens its own files — posix paths here; a cluster deployment
-    fronts object-store archives with a fuse/NFS mount or swaps the opener.
-    ``tasks`` caps partitioning (default: one partition per file up to the
-    session's parallelism)."""
+def _read_archives(
+    spark: SparkSession,
+    paths: str | list[str],
+    row_iter,
+    schema,
+    columns: list[str],
+    tasks: int | None = None,
+) -> DataFrame:
+    """Shared distributed archive scaffold (WARC and WET): the driver holds
+    only the FILE LIST (cheap even at 10^5 archives); each task opens its
+    own files — posix paths here; a cluster deployment fronts object-store
+    archives with a fuse/NFS mount or swaps the opener. ``tasks`` caps
+    partitioning (default: one partition per file up to the session's
+    parallelism). Chunked emission keeps the per-task high-water mark at
+    256 records regardless of archive size (a 1 GB archive must not become
+    one giant Arrow batch)."""
     files = sorted(_glob.glob(paths)) if isinstance(paths, str) else list(paths)
     if not files:
-        return spark.createDataFrame([], schema=schemas.PAGES)
+        return spark.createDataFrame([], schema=schema)
     missing = [f for f in files if not os.path.exists(f)]
     if missing:
         raise FileNotFoundError(missing[:3])
@@ -123,26 +131,28 @@ def read_warc(spark: SparkSession, paths: str | list[str], tasks: int | None = N
     file_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(n, "path")
 
     def parse(batches):
-        # chunked emission keeps the per-task high-water mark at
-        # ``chunk`` records regardless of archive size (a 1 GB .warc.gz
-        # must not become one giant Arrow batch)
         chunk = 256
         for pdf in batches:
             for path in pdf["path"]:
                 rows: list[tuple] = []
-                for row in pages_rows_from_warc(path):
+                for row in row_iter(path):
                     rows.append(row)
                     if len(rows) >= chunk:
-                        yield pd.DataFrame(
-                            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-                        )
+                        yield pd.DataFrame(rows, columns=columns)
                         rows = []
                 if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["url", "warc_ts", "html", "text", "lang"]
-                    )
+                    yield pd.DataFrame(rows, columns=columns)
 
-    return file_df.mapInPandas(parse, schema=schemas.PAGES)
+    return file_df.mapInPandas(parse, schema=schema)
+
+
+def read_warc(spark: SparkSession, paths: str | list[str], tasks: int | None = None) -> DataFrame:
+    """WARC file(s)/glob → PAGES DataFrame, parsed task-parallel (see
+    _read_archives for the distribution/memory contract)."""
+    return _read_archives(
+        spark, paths, pages_rows_from_warc, schemas.PAGES,
+        ["url", "warc_ts", "html", "text", "lang"], tasks,
+    )
 
 
 def write_warc(rows, path: str, compress: bool | None = None) -> None:
@@ -167,4 +177,66 @@ def write_warc(rows, path: str, compress: bool | None = None) -> None:
     with open(path, "wb") as f:
         for url, ts, html in rows:
             data = record(url, ts, html)
+            f.write(gzip.compress(data) if compress else data)
+
+
+# --------------------------------------------------------------------------
+# WET (Common Crawl "conversion" records, public convention over ISO 28500):
+# the text-only distribution format most webtext pipelines actually consume —
+# WARC-Type: conversion, Content-Type: text/plain, payload = extracted UTF-8
+# text of the page named by WARC-Target-URI.
+# --------------------------------------------------------------------------
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def wet_rows_from_file(path: str):
+    """Yield (url, warc_ts, text) rows from one WET file (plain or .gz)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        stream = f if path.endswith(".gz") else io.BufferedReader(f)
+        for headers, payload in iter_warc_records(stream):
+            url = headers.get("warc-target-uri")
+            if headers.get("warc-type") != "conversion" or not url:
+                continue
+            yield (
+                url,
+                _parse_warc_date(headers.get("warc-date")),
+                payload.decode("utf-8", errors="replace"),
+            )
+
+
+def read_wet(spark: SparkSession, paths: str | list[str], tasks: int | None = None) -> DataFrame:
+    """WET file(s)/glob → (url, warc_ts, text) DataFrame, parsed
+    task-parallel (see _read_archives) — the entry point for pipelines that
+    start from Common Crawl's text distribution instead of raw html."""
+    return _read_archives(
+        spark, paths, wet_rows_from_file, WET_SCHEMA, ["url", "warc_ts", "text"], tasks
+    )
+
+
+def write_wet(rows, path: str, compress: bool | None = None) -> None:
+    """(url, warc_ts, text) triples → one WET file (conversion records;
+    ``.gz`` path or compress=True gzips each record as its own member, the
+    crawl-archive convention). The inverse of read_wet — lets the engine's
+    extraction output ship in the format downstream corpora expect."""
+    compress = path.endswith(".gz") if compress is None else compress
+
+    def record(url: str, ts, text: str) -> bytes:
+        body = (text or "").encode("utf-8")
+        stamp = (ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {stamp}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"\r\n"
+        ).encode()
+        return head + body + _CRLF + _CRLF
+
+    with open(path, "wb") as f:
+        for url, ts, text in rows:
+            data = record(url, ts, text)
             f.write(gzip.compress(data) if compress else data)
