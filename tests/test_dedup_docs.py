@@ -151,6 +151,42 @@ def test_duplicate_components_long_chain_converges(spark):
     assert len(rows) == 13
 
 
+def test_duplicate_components_nonconvergence_raises(spark):
+    """Partially-propagated labels must never be returned silently: a
+    max_iters too small for the graph's label-hop diameter raises instead
+    of handing callers wrong components (which would under-dedup)."""
+    import pytest
+
+    from upton_spark.operators.dedup_docs import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_iters=2)
+
+
+def test_first_occurrence_exact_for_64bit_doc_ids(spark):
+    """The (doc_id, pos) struct-min first-occurrence key is exact for ids
+    past 2^43 (where the old scalar doc_id*2^20+pos overflowed int64 and
+    silently corrupted which occurrence is 'first')."""
+    from upton_spark.operators.dedup_docs import exact_substring_dedup, paragraph_dedup
+
+    big, bigger = 2**50, 2**50 + 1
+    rows = [(bigger, "a b c d e f"), (big, "a b c x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    # globally-first is the SMALLER doc_id, regardless of magnitude
+    assert out[big]["n_kept"] == 2
+    assert out[bigger]["clean_text"] == "d e f"
+    es = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, k=3).collect()
+    }
+    assert es[big]["n_removed"] == 0
+    assert es[bigger]["n_removed"] == 3  # the shared 'a b c' span leaves
+
+
 def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
     """Repeated 3-word windows survive only at their globally-first
     (doc_id, pos); documents rebuild from survivors in position order."""

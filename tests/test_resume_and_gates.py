@@ -406,6 +406,7 @@ def test_robots_gate_paths_equivalent(spark):
     )
     urls = [
         "http://a.example/private/x",
+        "http://a.example:8080/private/x",  # explicit port: same portless host key
         "http://a.example/private/ok/page",
         "http://a.example/public",
         "http://b.example/only-us/page",
@@ -414,12 +415,14 @@ def test_robots_gate_paths_equivalent(spark):
         "http://c.example/a/b.pdfx",
         "http://norules.example/whatever",
     ]
+    # host column exactly as the engine derives it: parse_url HOST (portless)
     frontier = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
-        "host", F.element_at(F.split(F.col("url"), "/"), 3)
+        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
     )
     for agent, expected in [
         ("upton-spark", {
             "http://a.example/private/x": False,
+            "http://a.example:8080/private/x": False,
             "http://a.example/private/ok/page": True,
             "http://a.example/public": True,
             "http://b.example/only-us/page": False,
@@ -431,6 +434,7 @@ def test_robots_gate_paths_equivalent(spark):
         ("*", {
             "http://b.example/only-us/page": False,
             "http://b.example/anything": False,  # '*' group: Disallow /
+            "http://a.example:8080/private/x": False,  # port never unlocks a rule
         }),
     ]:
         gate_dict = RobotsGate(spark, robots, agent)  # default threshold -> dict

@@ -85,6 +85,23 @@ class TestStratifiedSample:
         )
         assert 0 <= mn and mx < _BUCKETS
 
+    def test_huge_keys_still_bucket_in_range(self, spark):
+        """64-bit hash-derived doc ids used to overflow the int64 multiply
+        (ANSI: throw; non-ANSI: a sign-preserving % gave a NEGATIVE bucket,
+        i.e. always-keep at any rate). The mod-first form buckets ANY int64
+        key to the exact mathematical (key*MULT+OFFSET) mod B residue."""
+        huge = spark.createDataFrame(
+            [(2**62,), (2**63 - 1,), (-(2**62),), (3_460_000_000,), (7,)],
+            "doc_id long",
+        )
+        rows = huge.select(
+            "doc_id", sample_bucket_col(F.col("doc_id")).alias("b")
+        ).collect()
+        for r in rows:
+            assert 0 <= r["b"] < _BUCKETS, r
+            # python ints are unbounded: this is the exact mathematical value
+            assert r["b"] == (r["doc_id"] * _MULT + _OFFSET) % _BUCKETS, r
+
 
 class TestContamination:
     @pytest.fixture(scope="class")
@@ -170,13 +187,18 @@ class TestRepetitionStats:
         # single token: top_token_frac 1.0 -> flagged
         assert r4["repetitive"] == 1
 
-    def test_no_shuffle_no_python_in_plan(self, spark):
+    def test_linear_shuffle_shape_no_python_in_plan(self, spark):
         from upton_spark.operators.textops import repetition_stats
 
         df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
         plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan  # map-only: one pass over the corpus
-        assert "Python" not in plan  # higher-order expressions, no UDF
+        assert "Python" not in plan  # builtin expressions only, no UDF
+        # the quadratic per-row form (transform(array_distinct, t ->
+        # size(filter(...)))) is gone: counting happens in partial-agg
+        # HashAggregates over the exploded grams, linear per document
+        assert "array_distinct" not in plan
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
 
 
 def test_pack_sequences_greedy_walk(spark):

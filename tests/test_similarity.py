@@ -81,6 +81,21 @@ def test_ivf_deterministic(emb):
     assert np.array_equal(c1, c2)
 
 
+def test_ivf_training_sample_is_hard_bounded(emb):
+    """An undersampled (or forgotten) sample_mod must raise BEFORE any
+    unbounded driver collect — the guard probes at most max_sample_rows+1
+    rows and refuses, it never toPandas()es a corpus-scale table."""
+    with pytest.raises(ValueError, match="max_sample_rows"):
+        train_ivf_centroids(
+            emb, dim=DIM, n_centroids=4, sample_mod=1, max_sample_rows=N - 1
+        )
+    # a sample under the cap trains normally
+    c = train_ivf_centroids(
+        emb, dim=DIM, n_centroids=4, sample_mod=2, max_sample_rows=N
+    )
+    assert c.shape == (4, DIM)
+
+
 def test_embedding_near_dup_pairs(emb):
     pairs = embedding_near_dup_pairs(emb, dim=DIM, threshold=0.99, n_planes=6).collect()
     assert pairs  # same-cluster ids are ~identical vectors

@@ -137,6 +137,34 @@ class TestRobotsFromPages:
         statuses = {r["url"]: r["status"] for r in result.frontier.collect()}
         assert statuses[f"{BASE}/prosecutor.html"] == "blocked"
 
+    def test_non_root_robots_capture_is_not_authoritative(self, spark):
+        """A capture at /user/robots.txt must NOT supply (or, being newer,
+        shadow) the host's root rules — only the parsed path exactly
+        '/robots.txt' is the authoritative REP location."""
+        from upton_spark import schemas
+        from upton_spark.operators.robots import (
+            robots_from_pages,
+            sitemaps_from_robots,
+        )
+
+        root = "User-agent: *\nDisallow: /real/\nSitemap: http://h.example/s.xml\n"
+        fake = "User-agent: *\nDisallow: /\nSitemap: http://evil.example/s.xml\n"
+        rows = [
+            ("http://h.example/robots.txt", datetime(2012, 1, 1), root.encode(), None, None),
+            # newer but nested — would win dedup-latest under a suffix match
+            ("http://h.example/user/robots.txt", datetime(2020, 1, 1), fake.encode(), None, None),
+            ("http://only-nested.example/a/robots.txt", datetime(2020, 1, 1), fake.encode(), None, None),
+        ]
+        pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+        rules = robots_from_pages(pages).collect()
+        hosts = {r["host"] for r in rules}
+        assert hosts == {"h.example"}  # nested-only host contributes nothing
+        assert {r["path_prefix"] for r in rules if r["rule_type"] == "disallow"} == {"/real/"}
+        maps = sitemaps_from_robots(pages).collect()
+        assert [(r["host"], r["sitemap_url"]) for r in maps] == [
+            ("h.example", "http://h.example/s.xml")
+        ]
+
 
 def test_sitemaps_from_robots_directive_extraction(spark):
     """Sitemap: directives (any case/indent) extracted per host from the

@@ -160,6 +160,10 @@ class Crawler:
         clock: str | None = None,
         compact_every: int = 8,
         frontier_rows_per_bucket: int = 100_000,
+        url_priorities: DataFrame | None = None,
+        host_budgets: DataFrame | None = None,
+        blocklist_hosts: DataFrame | None = None,
+        blocklist_url_patterns: list[str] | None = None,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -213,6 +217,29 @@ class Crawler:
         self.clock = clock
         self.compact_every = max(1, compact_every)
         self.frontier_rows_per_bucket = frontier_rows_per_bucket
+        # Crawl-planning inputs (operators.webgraph family), composed into
+        # the loop the way the reference's `scrape` composes its pieces
+        # (lib/upton.rb:47-51) — a prioritized re-crawl is one constructor
+        # call, not hand-assembled operators:
+        # - ``url_priorities`` (url, priority:long): admission order within a
+        #   host; LOWER fetches first (pagerank_priorities converts rank
+        #   scores). Unlisted urls order after every listed one, then by
+        #   (seed_id, instance_index) as before. Key-partitioned left join —
+        #   the table may be corpus-scale.
+        # - ``host_budgets`` (host, budget:long): per-round token cap from
+        #   allocate_budget, min 1 so every host keeps a heartbeat; combined
+        #   with the sleep/Crawl-delay tokens via least(). Broadcast join
+        #   (host dims are small by definition).
+        # - ``blocklist_hosts`` (host) / ``blocklist_url_patterns``: the
+        #   webgraph.blocklist_gate admission check, run beside the robots
+        #   gate — hits go terminal status='blocked', never fetched.
+        # All three are uniform per host / static per url, so the one-shot
+        # closed-form schedule stays exact (no new _oneshot_eligible
+        # disqualifiers; equivalence pinned by test_planned_crawl_*).
+        self.url_priorities = url_priorities
+        self.host_budgets = host_budgets
+        self.blocklist_hosts = blocklist_hosts
+        self.blocklist_url_patterns = list(blocklist_url_patterns or [])
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -1094,6 +1121,65 @@ class Crawler:
             links = self.spark.createDataFrame([], schema=_LINKS_SCHEMA)
         return self._materialize(links, "links"), seen
 
+    # one priority bucket past any plausible instance_index: unranked urls
+    # order after every ranked one but keep their relative DOM order via the
+    # (seed_id, instance_index) tie-breakers every admission window carries
+    _UNRANKED_PRIORITY = 1 << 40
+
+    def _with_priority(self, df: DataFrame) -> DataFrame:
+        """Frontier priority column: the reference's implicit DOM order
+        (instance_index) unless a ``url_priorities`` table overrides it."""
+        if self.url_priorities is None:
+            return df.withColumn("priority", F.col("instance_index"))
+        pr = self.url_priorities.select(
+            "url", F.col("priority").cast("long").alias("_prio")
+        )
+        return (
+            df.join(pr, "url", "left")
+            .withColumn(
+                "priority", F.coalesce("_prio", F.lit(self._UNRANKED_PRIORITY))
+            )
+            .drop("_prio")
+        )
+
+    def _apply_blocklist(self, cand: DataFrame) -> DataFrame:
+        """Blocklist admission check beside the robots gate: a host-list or
+        url-pattern hit clears robots_allowed, so the row takes the same
+        terminal 'blocked' path (and lineage count) a robots Disallow does."""
+        if self.blocklist_hosts is None and not self.blocklist_url_patterns:
+            return cand
+        from upton_spark.operators.webgraph import blocklist_gate
+
+        out = blocklist_gate(
+            cand, self.blocklist_hosts, self.blocklist_url_patterns
+        )
+        return out.withColumn(
+            "robots_allowed", F.col("robots_allowed") & ~F.col("blocked")
+        ).drop("blocked", "block_reason")
+
+    def _cap_host_tokens(self, new_urls: DataFrame) -> DataFrame:
+        """Apply allocate_budget output as the per-round token ceiling:
+        host_tokens = least(sleep/Crawl-delay tokens, budget), clamped >= 1
+        so a zero/negative budget still lets the host drain (matching
+        _tokens_col's min-1 progress guarantee) instead of deferring its
+        rows forever."""
+        if self.host_budgets is None:
+            return new_urls
+        b = self.host_budgets.select(
+            "host", F.greatest(F.lit(1), F.col("budget").cast("long")).alias("_budget")
+        )
+        return (
+            new_urls.join(F.broadcast(b), "host", "left")
+            .withColumn(
+                "host_tokens",
+                F.least(
+                    F.col("host_tokens"),
+                    F.coalesce(F.col("_budget"), F.lit(polite_ops.UNLIMITED)),
+                ),
+            )
+            .drop("_budget")
+        )
+
     # -------------------------------------------------------- instance phase
     def build_frontier(self, links: DataFrame) -> DataFrame:
         """Links + explicit url_list seeds → frontier with instance_index in
@@ -1117,7 +1203,9 @@ class Crawler:
             .withColumn("pagination_index", F.lit(0))
             .withColumn("host", host_col(F.col("url")))
             .withColumn("depth", F.lit(1))
-            .withColumn("priority", F.col("instance_index"))
+        )
+        frontier = (
+            self._with_priority(frontier)
             .withColumn("attempts", F.lit(0))
             .withColumn(
                 "status",
@@ -1173,7 +1261,7 @@ class Crawler:
                 .filter(F.col("_rn") == 1)
                 .drop("_rn")
             )
-            cand = self._get_robots_gate()(cand)
+            cand = self._apply_blocklist(self._get_robots_gate()(cand))
             blocked = cand.filter(~F.col("robots_allowed"))
             allowed_cand = cand.filter(F.col("robots_allowed"))
 
@@ -1212,6 +1300,7 @@ class Crawler:
             new_urls = new_urls.withColumn(
                 "host_tokens", _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
             )
+            new_urls = self._cap_host_tokens(new_urls)
             new_urls = polite_ops.admit_per_host(new_urls)
 
             # bounded retry: an admitted row whose url is still inside its
@@ -1388,7 +1477,7 @@ class Crawler:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        cand = self._get_robots_gate()(cand)
+        cand = self._apply_blocklist(self._get_robots_gate()(cand))
         blocked = cand.filter(~F.col("robots_allowed"))
         allowed_cand = cand.filter(F.col("robots_allowed"))
 
@@ -1425,6 +1514,7 @@ class Crawler:
         new_urls = new_urls.withColumn(
             "host_tokens", _tokens_col(F.col("sleep_time_between_requests"), self.round_budget_s)
         )
+        new_urls = self._cap_host_tokens(new_urls)
         # the loop's admit_per_host re-ranks remaining rows each round with
         # constant per-host tokens; closed form: round = (rank-1) div tokens
         order_cols = ("priority", "seed_id", "instance_index", "pagination_index", "url")
@@ -1834,11 +1924,14 @@ class Crawler:
             if nxt.limit(1).count() == 0:
                 break
             new_rows = dedup_ops.with_url_hashes(
-                nxt.select("seed_id", "instance_index", F.col("next_url").alias("url"))
-                .withColumn("pagination_index", F.lit(k))
-                .withColumn("host", host_col(F.col("url")))
-                .withColumn("depth", F.lit(1))
-                .withColumn("priority", F.col("instance_index"))
+                self._with_priority(
+                    nxt.select(
+                        "seed_id", "instance_index", F.col("next_url").alias("url")
+                    )
+                    .withColumn("pagination_index", F.lit(k))
+                    .withColumn("host", host_col(F.col("url")))
+                    .withColumn("depth", F.lit(1))
+                )
                 .withColumn("attempts", F.lit(0))
                 .withColumn("status", F.lit("queued"))
             )

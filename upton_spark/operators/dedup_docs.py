@@ -322,6 +322,7 @@ def duplicate_components(
     labels = (
         edges.select(F.col("x").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
@@ -342,6 +343,16 @@ def duplicate_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        # falling through silently would hand callers PARTIALLY-propagated
+        # labels — "keep one doc per component" would then under-dedup with
+        # no signal. Label-hop diameter of near-dup components is single
+        # digits, so hitting this means the graph is pathological (or
+        # max_iters was lowered); fail loudly rather than return wrong data.
+        raise RuntimeError(
+            f"duplicate_components did not converge within max_iters={max_iters}; "
+            "labels are partially propagated — raise max_iters"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
@@ -430,9 +441,11 @@ def paragraph_dedup(
     per-doc regroup, both key-partitioned (the 100-TB shape: paragraph
     dedup is one groupBy over the exploded corpus, never pairwise).
 
-    The first-occurrence key is doc_id * 2^20 + pos (pos < 2^20 holds for
-    any real document), kept scalar so the SQL oracle replays it without
-    struct-comparison semantics."""
+    The first-occurrence key is the STRUCT (doc_id, pos) under min — exact
+    lexicographic first occurrence for any doc_id/paragraph count (the
+    scalar doc_id*2^20+pos form this replaces silently corrupts the choice
+    once a doc has >= 2^20 paragraphs or doc_id >= 2^43; the SQL oracle
+    still replays the scalar form, which is identical in-range)."""
     toks = F.split(F.col(text_col), " ")
     n_paras = F.ceil(F.size(toks) / F.lit(float(words_per_para))).cast("int")
     paras = df.select(
@@ -446,7 +459,7 @@ def paragraph_dedup(
             )
         ).alias("pos", "para"),
     )
-    key = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     firsts = paras.groupBy("para").agg(F.min(key).alias("first_key"))
     flagged = paras.join(firsts, "para").withColumn("kept", key == F.col("first_key"))
     return flagged.groupBy(id_col).agg(
@@ -502,7 +515,10 @@ def exact_substring_dedup(
     first-occurrence aggregation, a gaps-and-islands window per doc to
     merge spans, and an array-lambda rebuild — shuffles are the shingle
     hash exchange and the per-doc regroup, nothing pairwise. The
-    first-occurrence key is doc_id * 2^20 + pos (scalar, SQL-replayable).
+    first-occurrence key is the STRUCT (doc_id, pos) under min — exact for
+    any token count / doc_id (no 2^20-position or 2^43-id overflow); the
+    SQL oracle replays the equivalent scalar doc_id*2^20+pos, identical
+    in-range.
 
     The shingle UDF evaluates twice (once under the firsts aggregation,
     once on the join probe) — deliberate: a min/count window over sh would
@@ -524,7 +540,7 @@ def exact_substring_dedup(
     occ = df.select(
         F.col(id_col), F.posexplode(psh(F.col(text_col))).alias("pos", "sh")
     )
-    key = F.col(id_col) * F.lit(1 << 20) + F.col("pos")
+    key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     firsts = occ.groupBy("sh").agg(
         F.min(key).alias("first_key"), F.count("*").alias("n_occ")
     )

@@ -77,12 +77,15 @@ def robots_from_pages(pages: DataFrame) -> DataFrame:
     Latest capture wins per host (dedup-latest on warc_ts, same as page
     fetches); the per-row parse is an Arrow-batched pandas UDF over only
     the robots rows (filter pushdown keeps the corpus scan to the
-    ``/robots.txt`` url subset)."""
+    ``/robots.txt`` url subset). The filter matches the parsed PATH being
+    exactly ``/robots.txt`` — a suffix match would let a non-authoritative
+    capture like ``http://host/user/robots.txt`` supply (or, via
+    dedup-latest, shadow) the host's real root rules."""
     from pyspark.sql import Window
 
-    robots_rows = pages.filter(F.col("url").endswith("/robots.txt")).withColumn(
-        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    )
+    robots_rows = pages.filter(
+        F.parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
     w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc_nulls_last())
     latest = (
         robots_rows.withColumn("_rn", F.row_number().over(w))
@@ -152,14 +155,20 @@ def allowed(path: str, rules: list[tuple[str, str]]) -> bool:
 
 
 def _decision_path(u) -> tuple[str, str] | None:
-    """(netloc, path?query) for matching, or None for NULL urls (allowed)."""
+    """(host, path?query) for matching, or None for NULL urls (allowed).
+
+    The lookup key is the PORTLESS lowercase host (``urlparse().hostname``),
+    matching the join path's ``parse_url(url, 'HOST')`` frontier key — a
+    netloc key (which keeps ``:8080``) would miss rules tables keyed
+    portless (robots_from_pages) and make the two RobotsGate shapes
+    disagree on ported URLs."""
     if u is None:
         return None
     parts = urlparse(u)
     path = parts.path or "/"
     if parts.query:
         path = f"{path}?{parts.query}"
-    return parts.netloc.lower(), path
+    return (parts.hostname or "").lower(), path
 
 
 class RobotsGate:
@@ -312,13 +321,14 @@ def sitemaps_from_robots(pages: DataFrame) -> DataFrame:
     robots.txt captures — the discovery glue between robots ingestion and
     the sitemap seed source (feed the urls to sources.sitemap). Sitemap is
     an agent-independent REP directive, so this is a pure codegen extract:
-    filter to /robots.txt rows, dedup-latest per host, regexp over the
-    decoded body — no Python parse, no driver transit."""
+    filter to rows whose parsed PATH is exactly /robots.txt (never a
+    nested ``/user/robots.txt`` capture), dedup-latest per host, regexp
+    over the decoded body — no Python parse, no driver transit."""
     from pyspark.sql import Window
 
-    robots_rows = pages.filter(F.col("url").endswith("/robots.txt")).withColumn(
-        "host", F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    )
+    robots_rows = pages.filter(
+        F.parse_url(F.col("url"), F.lit("PATH")) == "/robots.txt"
+    ).withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
     w = Window.partitionBy("host").orderBy(F.col("warc_ts").desc_nulls_last())
     latest = (
         robots_rows.withColumn("_rn", F.row_number().over(w))

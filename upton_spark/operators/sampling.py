@@ -20,9 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Knuth multiplicative constant + a prime offset; the bucket space is
-# 10^4, so rates have 0.01% resolution. All intermediates fit int64 for
-# any int key < ~3.5e9 (doc ids); string keys hash first (xxhash64) —
-# that variant has no cross-engine oracle and is for engine-side use.
+# 10^4, so rates have 0.01% resolution.
 _MULT = 2654435761
 _OFFSET = 104729
 _BUCKETS = 10_000
@@ -30,8 +28,18 @@ _BUCKETS = 10_000
 
 def sample_bucket_col(key: Column) -> Column:
     """Deterministic bucket in [0, 10000) from an integer key — the
-    keep/drop decision is ``bucket < rate * 10000``."""
-    return (key.cast("long") * _MULT + _OFFSET) % _BUCKETS
+    keep/drop decision is ``bucket < rate * 10000``.
+
+    Computed as ``pmod(pmod(key, B) * MULT + OFFSET, B)``: reducing the key
+    mod B FIRST is mathematically identical to ``(key*MULT+OFFSET) mod B``
+    (mod distributes over the multiply-add) but the intermediate product is
+    bounded by B*MULT ~ 2.7e13, so ANY int64 key — e.g. 64-bit hash-derived
+    doc ids — buckets exactly, with no overflow (which under ANSI Spark
+    would throw, and under non-ANSI would wrap to a sign-preserving ``%``
+    result of a NEGATIVE bucket, i.e. silently always-keep). ``pmod`` keeps
+    negative keys' residues non-negative, matching the arithmetic the
+    oracle replays."""
+    return F.pmod(F.pmod(key.cast("long"), F.lit(_BUCKETS)) * _MULT + _OFFSET, F.lit(_BUCKETS))
 
 
 def stratified_sample(

@@ -120,6 +120,7 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     sample_mod: int = 1,
     n_iters: int = 5,
+    max_sample_rows: int = 1_000_000,
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means on a deterministic key-sampled subset.
 
@@ -128,13 +129,21 @@ def train_ivf_centroids(
     (k, dim) matrix regardless of corpus size); assignment stays fully
     distributed. Deterministic: sample sorted by id (partition-order
     independent), seeded init, fixed Lloyd iteration count, no RNG in the
-    loop."""
-    pdf = (
-        embeddings.filter(F.col(id_col) % sample_mod == 0)
-        .select(id_col, vec_col)
-        .toPandas()
-        .sort_values(id_col)
-    )
+    loop.
+
+    The collect is HARD-BOUNDED: if the sample exceeds ``max_sample_rows``
+    the call raises BEFORE any rows land on the driver (a bounded probe,
+    not a count of the full table), so a forgotten ``sample_mod`` on a
+    corpus-scale table can never become an unbounded ``toPandas()``."""
+    sample = embeddings.filter(F.col(id_col) % sample_mod == 0).select(id_col, vec_col)
+    # bounded size probe: never scans past the threshold
+    if sample.limit(max_sample_rows + 1).count() > max_sample_rows:
+        raise ValueError(
+            f"IVF training sample exceeds max_sample_rows={max_sample_rows}: "
+            f"raise sample_mod (currently {sample_mod}) so the driver-side "
+            "k-means sample stays bounded"
+        )
+    pdf = sample.toPandas().sort_values(id_col)
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
     return kmeans_unit_centroids(mat, n_centroids, n_iters)
 

@@ -34,8 +34,65 @@ def token_count_col(text: Column) -> Column:
 def bpe_ish_token_count_col(text: Column) -> Column:
     """BPE-ish subword proxy: count of word/number/punct fragments via the
     GPT-2-style pre-tokenizer regex family (letters runs, digit runs,
-    punct runs)."""
+    punct runs). The cheap JVM-side sibling of :func:`bpe_encode_col` —
+    codegen, SQL-replayable; use the real encoder when the downstream bins
+    by actual BPE ids."""
     return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def bpe_encode_col(text: Column) -> Column:
+    """REAL byte-level BPE ids over the vendored merges table
+    (functions.bpe — trained, committed, drift-tested): what a training
+    pipeline actually bins token budgets by. Arrow-batched pandas UDF with
+    a per-worker memoized encoder + per-batch word cache (webtext
+    vocabulary repeats heavily); the merges ship inside the package, so
+    nothing transits the driver."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(s: pd.Series) -> pd.Series:
+        from upton_spark.functions.bpe import vendored_tokenizer
+
+        tok = vendored_tokenizer()
+        return pd.Series([tok.encode(t or "") for t in s])
+
+    return enc(text)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Exact vendored-BPE token count = size(bpe_encode_col(text))."""
+    return F.size(bpe_encode_col(text))
+
+
+def chunk_token_ids(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking over PRE-TOKENIZED id arrays (e.g.
+    bpe_encode_col output) — same window math as :func:`chunk_documents`
+    (every id covered, no chunk starts past the end, last chunk short) but
+    the budget unit is real token ids, which is what a trainer packs.
+    Returns (id, chunk_id, n_tokens, chunk_ids). Map-only explode of
+    builtin slices — the one Python cost is upstream in the encoder."""
+    ids = F.col(ids_col)
+    n = F.size(ids)
+    n_chunks = (
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(float(stride))).cast("int") + 1
+    )
+    chunk = lambda k: F.slice(ids, k * stride + 1, window)  # noqa: E731
+    return df.filter(F.size(ids) > 0).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+        ).alias("chunk_id", "_chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.col("_chunk").alias("chunk_ids"),
+    )
 
 
 def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -123,47 +180,59 @@ def repetition_stats(
     the Gopher paper's rule family — "fraction of characters in the most
     common n-gram" — applied at token granularity).
 
-    Scale shape: per-row higher-order expressions only (transform/filter/
-    array_distinct over the doc's own tokens) — no shuffle, no UDF; the
-    per-doc cost is O(n_tokens * n_distinct), bounded because real
-    documents cap n_distinct far below n_tokens. A 100-TB corpus maps one
-    pass, and Catalyst prunes to (doc_id, text)."""
+    Scale shape: LINEAR per document — tokens and bigrams are tagged,
+    exploded, and counted with a (doc_id, gram) groupBy, then rolled up
+    per doc with conditional aggregates (two key-partitioned exchanges
+    with map-side partial aggregation, the second AQE-coalesced). The
+    naive per-row form (`transform(array_distinct(toks), t ->
+    size(filter(toks, x==t)))`) is O(n_tokens x n_distinct) INSIDE one
+    row — a 100k-token document costs ~10^9 comparisons in a single task;
+    the explode+groupBy shape spreads the same work linearly across the
+    cluster and is skew-safe (partial aggregation bounds any one task)."""
     trimmed = F.trim(F.lower(F.col(text_col)))
     toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
-    d = df.withColumn("_toks", toks).withColumn("_n", F.size("_toks"))
+    base = df.select("doc_id", toks.alias("_toks")).withColumn("_n", F.size("_toks"))
     n = F.col("_n")
-    nd = F.col("_nd")
-    # max frequency over distinct tokens: count occurrences via filter()
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct("_toks"),
-            lambda t: F.size(F.filter("_toks", lambda x: x == t)),
-        )
-    )
+    # one exploded stream, unigrams prefixed "u " / bigrams "b " (tokens are
+    # whitespace-split so the prefixes cannot collide across kinds)
     bigrams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - 2),
             lambda i: F.concat(
-                F.element_at("_toks", i + 1), F.lit(" "), F.element_at("_toks", i + 2)
+                F.lit("b "),
+                F.element_at("_toks", i + 1),
+                F.lit(" "),
+                F.element_at("_toks", i + 2),
             ),
         )
     )
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct("_bigrams"),
-            lambda t: F.size(F.filter("_bigrams", lambda x: x == t)),
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.concat(F.transform("_toks", lambda t: F.concat(F.lit("u "), t)), bigrams)
+        ).alias("gram"),
+    )
+    is_uni = F.col("gram").startswith("u ")
+    stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(is_uni, F.col("_c"))).alias("_top_tok"),
+            F.sum(F.when(is_uni, 1).otherwise(0)).alias("_nd"),
+            F.max(F.when(~is_uni, F.col("_c"))).alias("_top_bigram"),
         )
     )
     d = (
-        d.withColumn("_nd", F.size(F.array_distinct("_toks")))
-        .withColumn("_bigrams", bigrams)
-        .withColumn("_top_tok", F.when(n == 0, F.lit(0)).otherwise(top_tok))
-        .withColumn(
-            "_top_bigram", F.when(n < 2, F.lit(0)).otherwise(top_bigram)
-        )
+        base.drop("_toks")
+        .join(stats, "doc_id", "left")
+        .withColumn("_nd", F.coalesce("_nd", F.lit(0)))
+        .withColumn("_top_tok", F.coalesce("_top_tok", F.lit(0)))
+        .withColumn("_top_bigram", F.coalesce("_top_bigram", F.lit(0)))
     )
+    nd = F.col("_nd")
     distinct_ratio = F.when(n == 0, F.lit(0.0)).otherwise(nd / n)
     top_token_frac = F.when(n == 0, F.lit(0.0)).otherwise(F.col("_top_tok") / n)
     top_bigram_frac = F.when(n < 2, F.lit(0.0)).otherwise(

@@ -158,6 +158,22 @@ def pagerank(
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def pagerank_priorities(
+    ranks: DataFrame, key_col: str = "url", rank_col: str = "rank"
+) -> DataFrame:
+    """PageRank scores → the Crawler's ``url_priorities`` table (key,
+    priority:long) where LOWER priority fetches first: priority is the
+    NEGATED micro-quantized rank (-round(rank * 10^6)) — a monotone,
+    purely map-side transform, so no global sort at web scale (a dense
+    row_number ordering would be a single-partition sort over the whole
+    rank table). Ties at the same quantized rank keep the frontier's
+    deterministic (seed_id, instance_index) tie-break."""
+    return ranks.select(
+        F.col(key_col).alias("url"),
+        (-F.round(F.col(rank_col) * 1e6)).cast("long").alias("priority"),
+    )
+
+
 # --------------------------------------------------------------------------
 # re-crawl snapshot diff
 # --------------------------------------------------------------------------
