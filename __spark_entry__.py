@@ -377,14 +377,20 @@ def q_hot_hosts_topk(spark, sf_dir):
 
 
 def q_bpe_token_stats(spark, sf_dir):
-    """BPE-ish subword counting (GPT-2-style pre-tokenizer regex family)."""
-    from upton_spark.operators.textops import bpe_ish_token_count_col
+    """Token budgets two ways: the codegen pre-tokenizer proxy
+    (n_subwords, SQL-replayable) and the REAL vendored byte-level BPE
+    count (n_bpe_tokens — functions.bpe, Arrow-batched). The oracle
+    replays n_subwords in SQL and n_bpe_tokens via an independent
+    pure-Python re-encode of the same parquet text (_bpe_oracle), so the
+    Spark UDF plumbing is cross-checked end to end."""
+    from upton_spark.operators.textops import bpe_encode_col, bpe_ish_token_count_col
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         bpe_ish_token_count_col(F.col("text")).cast("long").alias("n_subwords"),
         F.length("text").cast("long").alias("n_chars_exact"),
+        F.size(bpe_encode_col(F.col("text"))).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -1839,6 +1845,39 @@ def _ivf_assigned_cte(cent) -> str:
     """
 
 
+def _bpe_oracle() -> str | None:
+    """bpe_token_stats oracle: n_subwords replayed in SQL; n_bpe_tokens
+    re-derived INDEPENDENTLY of Spark by running the vendored pure-Python
+    tokenizer over the driver's sf0.01 parquet text (read via DuckDB) and
+    baking the per-doc counts as a VALUES table — same bake-the-constants
+    pattern as the IVF/DSIR oracles. None when the table is unavailable at
+    generation time (the query then runs rows-only)."""
+    try:
+        import duckdb
+
+        from upton_spark.functions.bpe import vendored_tokenizer
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    tok = vendored_tokenizer()
+    vals = ",".join(f"({d},{len(tok.encode(t or ''))})" for d, t in rows)
+    return f"""
+        WITH bpe(doc_id, n_bpe) AS (VALUES {vals})
+        SELECT d.doc_id,
+               CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
+               CAST(length(d.text) AS BIGINT) AS n_chars_exact,
+               CAST(b.n_bpe AS BIGINT) AS n_bpe_tokens
+        FROM documents d JOIN bpe b ON d.doc_id = b.doc_id
+    """
+
+
 def _ivf_oracle() -> str | None:
     """IVF search oracle: baked retrained centroids (see
     _retrain_ivf_centroids), independent SQL cell assignment, search of the
@@ -2186,9 +2225,11 @@ def oracle_sql() -> dict[str, str]:
     ivf = _ivf_oracle()
     semded = _semantic_dedup_oracle()
     dsir = _dsir_oracle()
+    bpe = _bpe_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
+        **({"bpe_token_stats": bpe} if bpe is not None else {}),
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """
@@ -2372,12 +2413,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents GROUP BY source
             ) WHERE host_rank <= 5
         """,
-        "bpe_token_stats": """
-            SELECT doc_id,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords,
-                   CAST(length(text) AS BIGINT) AS n_chars_exact
-            FROM documents
-        """,
+        # bpe_token_stats: generated (_bpe_oracle) — see the merge at the top
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),

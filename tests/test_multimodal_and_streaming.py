@@ -343,3 +343,89 @@ def test_real_wav_decode_end_to_end(spark):
     assert max(f1) > 0.97 and min(f1) < 0.03
     assert len(f1) == 64
     assert multimodal.decoder_available("wav")
+
+
+def test_streaming_crawl_end_to_end_single_query(spark, tmp_path):
+    """SURVEY §2.9's last untested composition — ONE streaming query:
+    file-source pages stream → watermarked URL dedup → extraction →
+    stateful per-host token bucket. Admitted/deferred counts must match
+    the batch crawl's round-0 admission on the same slice (1 token/host:
+    batch fetches 1 and defers 3 in round 0; the streaming bucket admits 1
+    and emits 3 deferred in the single arrival trigger), and the duplicate
+    capture must be dropped by the dedup stage, never reaching the bucket."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.functions.udfs import extract_text_udf, host_col
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+    from upton_spark.streaming.stream import (
+        pages_stream,
+        streaming_url_dedup,
+        token_bucket_stateful,
+    )
+
+    instances = [
+        f"{BASE}/webinar.html",
+        f"{BASE}/discussion.html",
+        f"{BASE}/prosecutor.html",
+        f"{BASE}/sixfacts.html",
+    ]
+    slice_df = fixture_pages(spark).filter(F.col("url").isin(instances))
+    # a later duplicate capture of one url: the dedup stage must drop it
+    dup = slice_df.filter(F.col("url") == instances[0]).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 1 MINUTE")
+    )
+    path = str(tmp_path / "crawl_stream")
+    slice_df.unionByName(dup).write.mode("overwrite").parquet(path)
+
+    deduped = streaming_url_dedup(pages_stream(spark, path, max_files_per_trigger=64))
+    extracted = deduped.select(
+        "url",
+        "warc_ts",
+        extract_text_udf(F.col("html"), F.lit("h1.article-title")).alias("text"),
+    ).filter(F.col("text").isNotNull())  # forces the extract stage to run
+    q = (
+        token_bucket_stateful(
+            extracted.withColumn("host", host_col(F.col("url"))),
+            tokens_per_trigger=1,
+        )
+        .writeStream.format("memory")
+        .queryName("e2e_crawl")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM e2e_crawl").collect()
+    finally:
+        q.stop()
+
+    admitted = sorted(r["url"] for r in rows if r["admitted"])
+    deferred = sorted(r["url"] for r in rows if not r["admitted"])
+    assert len(rows) == 4  # the duplicate capture never reached the bucket
+
+    # batch twin: 1 token/host/round on the same slice -> round-0 lineage
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=30.0,
+        )
+    ]
+    batch = Crawler(
+        spark, fixture_pages(spark), seeds, round_budget_s=30.0
+    ).crawl()
+    r0 = (
+        batch.lineage.filter("phase = 'instance' AND round = 0")
+        .agg(F.sum("fetched").alias("f"), F.sum("deferred_by_politeness").alias("d"))
+        .first()
+    )
+    assert (len(admitted), len(deferred)) == (r0["f"], r0["d"]) == (1, 3)
+    # the admitted/deferred universe is the batch's seen universe (WHICH url
+    # admits first differs by design: the stream admits arrival order, the
+    # batch admits DOM/instance order)
+    batch_urls = {r["url"] for r in batch.urls_seen.collect()}
+    assert set(admitted) | set(deferred) == batch_urls == set(instances)

@@ -114,6 +114,11 @@ class KilledCrawl(RuntimeError):
         self.round_no = round_no
 
 
+# session-lifetime inverted file index per corpus (see _url_file_map);
+# single entry — a new corpus unpersists and replaces the previous map
+_URL_FILE_MAP_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _tokens_col(sleep_col, round_budget_s: float):
     """Live-fetch tokens per host per round — the reference's
     sleep_time_between_requests (lib/upton.rb:96) re-expressed as
@@ -401,6 +406,34 @@ class Crawler:
             return None
         return self._latest_of(self.spark.read.parquet(*files))
 
+    def _url_file_map(self) -> DataFrame | None:
+        """(url, _f) inverted file index over the raw corpus scan, built
+        ONCE per (session, pages_path, file set) and Spark-cached — every
+        subsequent prescan (index candidates, extraction prune) becomes a
+        tiny probe of the cached map instead of a fresh url-column scan of
+        the corpus. One full url-column pass amortizes across every crawl
+        of the same corpus in the process (the politeness bench runs three;
+        the contract gate runs five). The 100-TB analogue is table
+        metadata (Iceberg manifests / file url stats) — local parquet has
+        no such index, so the engine materializes one. Single-entry cache:
+        a new corpus evicts (unpersists) the old map."""
+        if self.pages_path is None or not self._pages_is_raw_scan():
+            return None
+        key = (self.pages_path, tuple(sorted(self.pages.inputFiles())))
+        cached = _URL_FILE_MAP_CACHE.get(key)
+        if cached is None:
+            for old in _URL_FILE_MAP_CACHE.values():
+                old.unpersist()
+            _URL_FILE_MAP_CACHE.clear()
+            cached = (
+                self.spark.read.parquet(self.pages_path)
+                .select("url", F.input_file_name().alias("_f"))
+                .cache()
+            )
+            cached.count()  # materialize the cache once
+            _URL_FILE_MAP_CACHE[key] = cached
+        return cached
+
     def _prune_file_list(
         self, keys: DataFrame, url_col: str, key_urls: list[str] | None = None
     ) -> list[str] | None:
@@ -410,7 +443,18 @@ class Crawler:
             return None
         if not self._pages_is_raw_scan():
             return None
-        if key_urls is not None:
+        fmap = self._url_file_map()
+        if fmap is not None:
+            if key_urls is not None:
+                probe = fmap.filter(F.col("url").isin(key_urls))
+            else:
+                probe = fmap.join(
+                    F.broadcast(keys.select(F.col(url_col).alias("url"))),
+                    "url",
+                    "left_semi",
+                )
+            files = [r["_f"] for r in probe.select("_f").distinct().collect()]
+        elif key_urls is not None:
             # driver-known candidate set (e.g. index-chain urls, a pure
             # function of the seed list): an IN predicate pushes down to the
             # parquet scan, so row-group url stats prune the prescan itself —
@@ -1217,10 +1261,18 @@ class Crawler:
         )
         hashed = dedup_ops.with_url_hashes(frontier)
         # salted host partitioning (SURVEY.md §4.1): bound any partition's
-        # share of a Zipf-hot host before the frontier hits storage
+        # share of a Zipf-hot host before the frontier hits storage.
+        # Partition count scales with the frontier's size (links row count is
+        # a parquet-footer read — the links table is already materialized):
+        # a politeness-bounded 10^2-row frontier writes 1 file instead of
+        # defaultParallelism near-empty ones (shuffle+write overhead was the
+        # bulk of build_frontier's fixed cost on small crawls); a bulk crawl
+        # still spreads across every core.
+        n_rows = links.count() + len(explicit_rows)
+        n_parts = max(1, min(self.spark.sparkContext.defaultParallelism, -(-n_rows // 4096)))
         salted = part_ops.salted_repartition(
             hashed,
-            self.spark.sparkContext.defaultParallelism,
+            n_parts,
             rows_per_bucket=self.frontier_rows_per_bucket,
         )
         return self._materialize(salted, "frontier")

@@ -43,11 +43,11 @@ MEDIA = T.StructType(
 
 
 def decoder_available(fmt: str = "png") -> bool:
-    """True when a real decoder exists for ``fmt``: PNG always (the vendored
-    pure-stdlib codec in operators.png_codec), WAV always (the stdlib
-    ``wave`` module), anything else only when an image library is
-    importable (this container ships none)."""
-    if (fmt or "").lower() in ("png", "wav"):
+    """True when a real decoder exists for ``fmt``: PNG and GIF always (the
+    vendored pure-stdlib codecs in operators.png_codec / gif_codec), WAV
+    always (the stdlib ``wave`` module), anything else only when an image
+    library is importable (this container ships none)."""
+    if (fmt or "").lower() in ("png", "gif", "wav"):
         return True
     try:  # pragma: no cover - environment-dependent
         import PIL.Image  # noqa: F401
@@ -87,17 +87,22 @@ def _decode_wav_grid(payload: bytes, out_hw: tuple[int, int]) -> np.ndarray:
 
 def _real_decode(payload: bytes, fmt: str, out_hw: tuple[int, int]) -> np.ndarray:
     """Real decode+resize for formats with an available decoder (the
-    vendored PNG codec; the stdlib wave module): bytes → (h, w) float grid
-    in [0, 1], resized by block/repeat sampling (no interpolation library
-    in the container)."""
-    from upton_spark.operators.png_codec import decode_png_grey
-
+    vendored PNG and GIF codecs; the stdlib wave module): bytes → (h, w)
+    float grid in [0, 1], resized by block/repeat sampling (no
+    interpolation library in the container)."""
     fmt = (fmt or "").lower()
     if fmt == "wav":
         return _decode_wav_grid(payload, out_hw)
-    if fmt != "png":
+    if fmt == "png":
+        from upton_spark.operators.png_codec import decode_png_grey
+
+        grid = decode_png_grey(payload)
+    elif fmt == "gif":
+        from upton_spark.operators.gif_codec import decode_gif_grey
+
+        grid = decode_gif_grey(payload)
+    else:
         raise NotImplementedError(f"no decoder for format {fmt!r} in this container")
-    grid = decode_png_grey(payload)
     h, w = out_hw
     ys = (np.arange(h) * grid.shape[0]) // h
     xs = (np.arange(w) * grid.shape[1]) // w

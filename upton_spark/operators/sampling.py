@@ -100,6 +100,7 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequential sequence packing: within each shard (id mod
     n_shards), walk documents in id order and start a new bin whenever
@@ -113,13 +114,20 @@ def pack_sequences(
     100-TB packing job shards: thousands of independent shard walks, no
     cross-shard coordination. The per-row loop inside the walk is O(docs
     per shard) driver-free Python — the sequential dependency is the
-    algorithm, not an implementation shortcut."""
+    algorithm, not an implementation shortcut.
+
+    ``count_col`` overrides the budget unit: pass a precomputed token-count
+    column (e.g. size(bpe_encode_col(text)) — real BPE ids, what a trainer
+    actually bins by) instead of the whitespace token_count_col default."""
     from upton_spark.operators.textops import token_count_col
 
+    n_tokens = (
+        F.col(count_col) if count_col is not None else token_count_col(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col),
         (F.col(id_col) % n_shards).cast("int").alias("shard"),
-        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     )
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
