@@ -197,6 +197,8 @@ HEADLINE_QUERIES = [
     "chunk_documents",
     "c4_clean",
     "blocklist_gate",
+    "bpe_token_stats",
+    "planned_admission",
 ]
 
 
