@@ -394,6 +394,40 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def _gopher_demo_text_col():
+    """Deterministic multi-line text for the Gopher-rules query: the
+    single-line corpus doc plus doc_id-keyed lines exercising every rule —
+    bullets, ellipsis endings, symbol noise, stopword presence."""
+    return F.concat_ws(
+        "\n",
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("- bullet item one")).otherwise(
+            F.lit("plain line two")
+        ),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("to be continued...")).otherwise(
+            F.lit("closing line and done")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#tag ### noisy #symbols here")).otherwise(
+            F.lit("clean words with the and of")
+        ),
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher document-level quality rules (Rae et al. 2021) — the
+    structural half beside repetition_stats: word-count bounds, mean word
+    length, symbol/bullet/ellipsis ratios, alpha-word ratio, stopword
+    presence, composite pass flag. Map-only codegen; oracle replays every
+    rule in DuckDB list functions on the same synthesized multi-line
+    text."""
+    from upton_spark.operators.textops import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _gopher_demo_text_col().alias("text")
+    )
+    return gopher_rules(docs)
+
+
 _ESD_BOILER = "copyright footer all rights reserved contact site admin"
 
 
@@ -1301,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "planned_admission": q_planned_admission,  # new in r4 (crawl planning wired)
+        "gopher_quality": q_gopher_quality,  # new in r4 (Gopher structural rules)
         # crawl/url family
         "url_md5": q_url_md5,
         "slug": q_slug,
@@ -2414,6 +2449,60 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE host_rank <= 5
         """,
         # bpe_token_stats: generated (_bpe_oracle) — see the merge at the top
+        "gopher_quality": """
+            WITH src AS (
+              SELECT doc_id,
+                     text
+                     || chr(10) || CASE WHEN doc_id % 3 = 0
+                                        THEN '- bullet item one'
+                                        ELSE 'plain line two' END
+                     || chr(10) || CASE WHEN doc_id % 4 = 0
+                                        THEN 'to be continued...'
+                                        ELSE 'closing line and done' END
+                     || chr(10) || CASE WHEN doc_id % 11 = 0
+                                        THEN '#tag ### noisy #symbols here'
+                                        ELSE 'clean words with the and of' END AS t
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, t,
+                     string_split_regex(trim(t), '\\s+') AS words,
+                     string_split(t, chr(10)) AS lines
+              FROM src
+            ), m AS (
+              SELECT doc_id,
+                     len(words) AS n,
+                     CAST(list_aggregate(list_transform(words, w -> length(w)), 'sum') AS DOUBLE)
+                       / len(words) AS mean_wl,
+                     (CAST(length(trim(t)) - length(replace(trim(t), '#', '')) AS DOUBLE)
+                      + (length(trim(t)) - length(regexp_replace(trim(t), '\\.\\.\\.', '', 'g'))) / 3.0
+                     ) / len(words) AS symbol_ratio,
+                     CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+                       / len(lines) AS bullet_ratio,
+                     CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\\.\\.\\.$'))) AS DOUBLE)
+                       / len(lines) AS ell_ratio,
+                     CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / len(words) AS alpha_ratio,
+                     len(list_intersect(['the','be','to','of','and','that','have','with'],
+                                        list_transform(words, w -> lower(w)))) AS stop_hits
+              FROM feat
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_words,
+                   round(mean_wl, 4) AS mean_word_len,
+                   round(symbol_ratio, 4) AS symbol_ratio,
+                   round(bullet_ratio, 4) AS bullet_line_ratio,
+                   round(ell_ratio, 4) AS ellipsis_line_ratio,
+                   round(alpha_ratio, 4) AS alpha_word_ratio,
+                   CAST(stop_hits AS BIGINT) AS stop_hits,
+                   CAST(n BETWEEN 10 AND 100000
+                        AND mean_wl BETWEEN 3.0 AND 10.0
+                        AND symbol_ratio < 0.1
+                        AND bullet_ratio < 0.9
+                        AND ell_ratio < 0.3
+                        AND alpha_ratio > 0.8
+                        AND stop_hits >= 2 AS INT) AS gopher_pass
+            FROM m
+        """,
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),
         "exact_substring_dedup": _exact_substring_oracle(),

@@ -429,3 +429,41 @@ def test_streaming_crawl_end_to_end_single_query(spark, tmp_path):
     # batch admits DOM/instance order)
     batch_urls = {r["url"] for r in batch.urls_seen.collect()}
     assert set(admitted) | set(deferred) == batch_urls == set(instances)
+
+
+def test_mp4_container_duration_drives_frame_sampling(spark):
+    """Real ISO-BMFF parsing: frame_sample(use_container_duration=True)
+    derives the schedule from mvhd duration/timescale in the actual mp4
+    bytes — tampered sidecar metadata cannot skew the sampling. Frame
+    decode stays stubbed (documented; the gate test still names mp4)."""
+    import pytest as _pytest
+
+    from upton_spark.operators.multimodal import (
+        MEDIA,
+        encode_mp4_stub,
+        frame_sample,
+        mp4_duration_ms,
+    )
+
+    assert mp4_duration_ms(encode_mp4_stub(3500)) == 3500
+    assert mp4_duration_ms(encode_mp4_stub(0)) == 0
+    with _pytest.raises(ValueError):
+        mp4_duration_ms(b"\x00\x00\x00\x08free")  # no moov
+    with _pytest.raises(ValueError):
+        mp4_duration_ms(encode_mp4_stub(1000)[:20])  # truncated box
+
+    rows = [
+        # meta LIES (9999ms) — the container says 2500ms
+        (0, "http://m/v0.mp4", encode_mp4_stub(2500), ("video", "mp4", 64, 48, 9999)),
+        (1, "http://m/v1.mp4", encode_mp4_stub(900), ("video", "mp4", 64, 48, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    got = frame_sample(media, every_ms=1000, use_container_duration=True).collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_ms"])
+    assert sorted(by_asset[0]) == [0, 1000, 2000]  # 2500ms, not 9999ms
+    assert sorted(by_asset[1]) == [0]
+    # the meta path (default) still honors the sidecar value
+    meta_rows = frame_sample(media, every_ms=1000).collect()
+    assert len([r for r in meta_rows if r["asset_id"] == 0]) == 10

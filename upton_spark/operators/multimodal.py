@@ -218,16 +218,99 @@ def decode_and_featurize(
     return media.select(*cols).mapInPandas(run, schema=schema)
 
 
+def mp4_duration_ms(payload: bytes) -> int:
+    """Real MP4/ISO-BMFF container parsing (public spec, ISO/IEC 14496-12):
+    walk the top-level box tree to ``moov``, find ``mvhd``, and return the
+    movie duration in milliseconds (duration/timescale from the version
+    0 or 1 header layout). FRAME DECODE stays honestly stubbed (no video
+    codec in this container) — but the frame-sampling schedule no longer
+    needs trusted metadata: it derives from the real container bytes."""
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack(">I", data[pos : pos + 4])[0]
+            btype = data[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("truncated MP4 box")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    for btype, body_start, body_end in walk(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for inner, istart, iend in walk(payload, body_start, body_end):
+            if inner != b"mvhd":
+                continue
+            version = payload[istart]
+            if version == 1:
+                timescale, duration = struct.unpack(
+                    ">IQ", payload[istart + 20 : istart + 32]
+                )
+            else:
+                timescale, duration = struct.unpack(
+                    ">II", payload[istart + 12 : istart + 20]
+                )
+            if timescale == 0:
+                raise ValueError("mvhd timescale 0")
+            return int(duration * 1000 // timescale)
+    raise ValueError("no moov/mvhd box found")
+
+
+def encode_mp4_stub(duration_ms: int) -> bytes:
+    """Minimal valid ISO-BMFF container (ftyp + moov/mvhd, version 0,
+    timescale 1000) for tests — a real shell with the declared duration,
+    no media tracks (the decode stub's domain)."""
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", 1000, max(0, int(duration_ms)))  # timescale, duration
+        + b"\x00" * 80  # rate/volume/reserved/matrix/predefined/next_track
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
 def frame_sample(
-    media: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
+    media: DataFrame,
+    every_ms: int = 1000,
+    payload_col: str = "payload",
+    use_container_duration: bool = False,
 ) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame
-    offset (duration from meta), payload decode stubbed like above."""
-    with_duration = media.select(
-        "asset_id",
-        payload_col,
-        F.coalesce(F.col("meta.duration_ms"), F.lit(0)).alias("duration_ms"),
-    )
+    offset. Duration comes from ``meta.duration_ms`` by default; with
+    ``use_container_duration=True`` it is parsed from the REAL mp4 bytes
+    (mvhd box — mp4_duration_ms) in an Arrow-batched UDF, so the schedule
+    never trusts sidecar metadata. Frame DECODE stays stubbed (no video
+    codec ships in this container)."""
+    if use_container_duration:
+
+        @F.pandas_udf(T.IntegerType())
+        def dur(payload: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    mp4_duration_ms(bytes(p)) if p is not None else 0
+                    for p in payload
+                ],
+                dtype="int32",
+            )
+
+        with_duration = media.select(
+            "asset_id", payload_col, dur(F.col(payload_col)).alias("duration_ms")
+        )
+    else:
+        with_duration = media.select(
+            "asset_id",
+            payload_col,
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0)).alias("duration_ms"),
+        )
     frames = with_duration.withColumn(
         "frame_ms",
         F.explode(

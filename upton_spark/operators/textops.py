@@ -324,6 +324,79 @@ def chunk_documents(
     )
 
 
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, public — the
+    standard webtext gate family CCNet/FineWeb pipelines apply before
+    training): word-count bounds, mean-word-length in [3, 10], symbol
+    ('#'/'...')-to-word ratio < 0.1, bullet-started lines < 90%,
+    ellipsis-ended lines < 30%, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct common stopwords present.
+
+    Complements :func:`repetition_stats` (the REPETITION half of Gopher) —
+    these are the structural/document rules. All builtin expressions (map
+    only, no shuffle, no Python), every intermediate ratio SQL-replayable.
+    Returns per-doc features + the composite ``gopher_pass`` flag."""
+    raw = F.col(text_col)
+    text = F.trim(raw)
+    words = F.when(text == "", F.array().cast("array<string>")).otherwise(
+        F.split(text, r"\s+")
+    )
+    n = F.size(words)
+    char_total = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.when(n > 0, char_total / n).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(n > 0, alpha_words / n).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = (
+        F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = F.when(n > 0, (n_hash + n_ellipsis) / n).otherwise(F.lit(0.0))
+    lines = F.split(raw, "\n")
+    n_lines = F.size(lines)
+    bullet_ratio = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ) / n_lines
+    ellipsis_line_ratio = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+    ) / n_lines
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            F.transform(words, F.lower),
+        )
+    )
+    gopher_pass = (
+        n.between(min_words, max_words)
+        & mean_wl.between(3.0, 10.0)
+        & (symbol_ratio < 0.1)
+        & (bullet_ratio < 0.9)
+        & (ellipsis_line_ratio < 0.3)
+        & (alpha_ratio > 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_ratio, 4).alias("bullet_line_ratio"),
+        F.round(ellipsis_line_ratio, 4).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_word_ratio"),
+        stop_hits.cast("long").alias("stop_hits"),
+        gopher_pass.cast("int").alias("gopher_pass"),
+    )
+
+
 def c4_clean(df: DataFrame, text_col: str = "text", min_words: int = 3) -> DataFrame:
     """C4-style line-level cleaning (Raffel et al. 2020, public): keep only
     lines that end in terminal punctuation (. ! ? ") and have at least
