@@ -578,6 +578,18 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, F.col("lang") == "en", n_buckets=4096).orderBy("doc_id")
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring: avg negative log-likelihood per doc
+    under a hashed-bigram bag model trained on the English slice (lower =
+    more reference-like; CCNet's head/middle/tail split keys on exactly
+    this). Oracle: same md5 gram buckets, baked per-bucket micro-NLL
+    terms + unseen-bucket floor, exact integer sums."""
+    from upton_spark.operators.sampling import lm_nll_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_nll_scores(docs, F.col("lang") == "en", n_buckets=4096).orderBy("doc_id")
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """CCNet-style corpus-wide paragraph dedup (fixed word windows stand in
     for newline paragraphs on the single-line corpus): keep the globally
@@ -1336,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "planned_admission": q_planned_admission,  # new in r4 (crawl planning wired)
         "gopher_quality": q_gopher_quality,  # new in r4 (Gopher structural rules)
+        "lm_perplexity": q_lm_perplexity,  # new in r4 (CCNet LM quality score)
         # crawl/url family
         "url_md5": q_url_md5,
         "slug": q_slug,
@@ -2030,6 +2043,69 @@ def _dsir_oracle() -> str | None:
     """
 
 
+def _lm_perplexity_oracle() -> str | None:
+    """lm_perplexity oracle: reference-slice bucket counts re-derived in
+    Python from the sf0.01 parquet (same hashlib-md5 bucketing as the
+    Spark UDF), per-bucket micro-NLL terms + the unseen-bucket floor baked
+    as literals; the SQL side independently rebuilds the gram stream via
+    md5_number_lower and sums exact integers."""
+    import hashlib
+
+    try:
+        import duckdb
+
+        rows = duckdb.connect().execute(
+            "SELECT doc_id, text, lang FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    from upton_spark.operators.sampling import lm_bucket_nll_micros
+
+    n_buckets = 4096
+    counts: dict[int, int] = {}
+    cache: dict[str, int] = {}
+
+    def bucket(g: str) -> int:
+        v = cache.get(g)
+        if v is None:
+            v = int.from_bytes(hashlib.md5(g.encode()).digest()[8:16], "little") % n_buckets
+            cache[g] = v
+        return v
+
+    for _doc_id, text, lang in rows:
+        if lang != "en":
+            continue
+        toks = (text or "").split()
+        for g in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            counts[bucket(g)] = counts.get(bucket(g), 0) + 1
+    nll_rows, default_micro = lm_bucket_nll_micros(counts, n_buckets)
+    vals = ",".join(f"({b},{m})" for b, m in nll_rows)
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+          FROM documents WHERE trim(text) <> ''
+        ), uni AS (
+          SELECT doc_id, unnest(w) AS g FROM tok
+        ), big AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+          FROM tok, unnest(range(1, len(w))) AS t(i)
+        ), grams AS (
+          SELECT doc_id, CAST(md5_number_lower(g) % {n_buckets} AS INT) AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+        ), m AS (
+          SELECT bucket, CAST(nll_micro AS BIGINT) AS nll_micro
+          FROM (VALUES {vals}) v(bucket, nll_micro)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               round(sum(coalesce(nll_micro, {default_micro}))
+                     / (count(*) * 1000000.0), 6) AS avg_nll
+        FROM grams LEFT JOIN m USING (bucket) GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _exact_substring_oracle() -> str:
     """Positional k=8 shingle chain (same md5>>2 + HUGEINT wraparound
     combine as the MinHash oracles, WITHOUT distinct), first-occurrence
@@ -2261,10 +2337,12 @@ def oracle_sql() -> dict[str, str]:
     semded = _semantic_dedup_oracle()
     dsir = _dsir_oracle()
     bpe = _bpe_oracle()
+    lmppl = _lm_perplexity_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
+        **({"lm_perplexity": lmppl} if lmppl is not None else {}),
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """

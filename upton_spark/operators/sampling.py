@@ -238,6 +238,71 @@ def dsir_weights(
     )
 
 
+def lm_nll_scores(
+    df: DataFrame,
+    ref_filter: Column,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020, public): each
+    document's average negative log-likelihood under a hashed
+    unigram+bigram bag model trained on the REFERENCE slice (rows matching
+    ``ref_filter`` — CCNet uses a Wikipedia-trained LM; the bag-of-hashed-
+    grams model stands in with the same selection semantics). Lower
+    avg_nll = more reference-like; CCNet buckets a corpus into head/middle/
+    tail on exactly this score (avg NLL = log perplexity for this model).
+
+    Same 100-TB shape as :func:`dsir_weights`: one explode + one bucket
+    aggregation whose result is O(n_buckets) rows regardless of corpus
+    size, NLL terms computed once driver-side in integer micro-units (one
+    libm — cross-engine exact sums), broadcast back onto the gram stream.
+    Unseen buckets take the add-1 floor probability. Returns
+    (id, n_grams, avg_nll)."""
+    tagged = df.withColumn("_ref", ref_filter)
+    grams = _hashed_gram_buckets(tagged, n_buckets, text_col, id_col, ["_ref"])
+    counts = (
+        grams.filter(F.col("_ref"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    nll_rows, default_micro = lm_bucket_nll_micros(
+        {r["bucket"]: r["c"] for r in counts}, n_buckets
+    )
+    model = df.sparkSession.createDataFrame(nll_rows, "bucket int, nll_micro long")
+    return (
+        grams.join(F.broadcast(model), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            # exact integer sum; ONE float division at the end
+            F.round(
+                F.sum(F.coalesce("nll_micro", F.lit(default_micro)))
+                / (F.count("*") * F.lit(1_000_000.0)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def lm_bucket_nll_micros(
+    counts: dict[int, int], n_buckets: int
+) -> tuple[list[tuple[int, int]], int]:
+    """((bucket, 10^6 x -log p(bucket)) rows, default micro-NLL for unseen
+    buckets) from reference-slice bucket counts, add-1 smoothed. One libm
+    (CPython's) computes every term; both engines sum exact integers."""
+    import math
+
+    n_total = sum(counts.values())
+    denom = n_total + float(n_buckets)
+    rows = [
+        (int(b), round(-math.log((c + 1.0) / denom) * 1_000_000))
+        for b, c in sorted(counts.items())
+    ]
+    return rows, round(-math.log(1.0 / denom) * 1_000_000)
+
+
 def dsir_bucket_logweights(
     counts: dict[int, tuple[int, int]], n_buckets: int
 ) -> list[tuple[int, int]]:
