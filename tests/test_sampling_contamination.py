@@ -375,3 +375,68 @@ def test_pack_sequences_matches_reference_walk_on_random_corpora(spark):
         assert got == reference(rows)
 
     run()
+
+
+def test_lm_nll_ranks_reference_like_docs_lower(spark):
+    """CCNet LM scoring: documents drawn from the reference distribution
+    score a LOWER avg NLL than out-of-distribution docs; scores are exact
+    integer-micro sums (repartition-invariant)."""
+    from pyspark.sql import Row
+
+    from upton_spark.operators.sampling import lm_nll_scores
+
+    ref_texts = [f"the quick brown fox jumps over the lazy dog {i}" for i in range(30)]
+    rows = (
+        [Row(doc_id=i, lang="en", text=t) for i, t in enumerate(ref_texts)]
+        + [Row(doc_id=100, lang="de", text="the quick brown fox jumps over the lazy dog 7")]
+        + [Row(doc_id=101, lang="de", text="zxq vnm plk qwe rty uio asd fgh jkl bnm")]
+    )
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["avg_nll"] for r in lm_nll_scores(df, F.col("lang") == "en", n_buckets=512).collect()}
+    # in-distribution doc scores lower than the gibberish doc
+    assert out[100] < out[101]
+    # repartition invariance (exact integer sums, one final division)
+    out2 = {
+        r["doc_id"]: r["avg_nll"]
+        for r in lm_nll_scores(df.repartition(7), F.col("lang") == "en", n_buckets=512).collect()
+    }
+    assert out == out2
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each Gopher structural rule on hand-built docs: clean text passes;
+    symbol noise, bullet walls, ellipsis walls, non-alpha floods, and
+    stopword-free strings each trip their rule."""
+    from pyspark.sql import Row
+
+    from upton_spark.operators.textops import gopher_rules
+
+    clean = "the quick brown fox jumps over the lazy dog and that dog sat with it"
+    rows = [
+        Row(doc_id=1, text=clean),
+        Row(doc_id=2, text="the of and " + "### ## # " * 10),        # symbols
+        Row(doc_id=3, text="\n".join(["- item the of and be to that have with more words here"] * 5)),  # bullets
+        Row(doc_id=4, text="\n".join(["the story continues and that..."] * 5)),  # ellipsis lines
+        Row(doc_id=5, text="the of 123 456 789 012 345 678 901 234 567 890"),  # non-alpha
+        Row(doc_id=6, text="zxq vnm plk qwe rty uio asd fgh jkl bnm pqr stv"),  # no stopwords
+        Row(doc_id=7, text="the of"),  # too short
+    ]
+    out = {r["doc_id"]: r for r in gopher_rules(spark.createDataFrame(rows)).collect()}
+    assert out[1]["gopher_pass"] == 1
+    assert out[2]["symbol_ratio"] >= 0.1 and out[2]["gopher_pass"] == 0
+    assert out[3]["bullet_line_ratio"] >= 0.9 and out[3]["gopher_pass"] == 0
+    assert out[4]["ellipsis_line_ratio"] >= 0.3 and out[4]["gopher_pass"] == 0
+    assert out[5]["alpha_word_ratio"] <= 0.8 and out[5]["gopher_pass"] == 0
+    assert out[6]["stop_hits"] < 2 and out[6]["gopher_pass"] == 0
+    assert out[7]["n_words"] < 10 and out[7]["gopher_pass"] == 0
+
+
+def test_gopher_rules_all_codegen(spark):
+    from pyspark.sql import Row
+
+    from upton_spark.operators.textops import gopher_rules
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan  # map-only

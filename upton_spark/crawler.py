@@ -114,9 +114,13 @@ class KilledCrawl(RuntimeError):
         self.round_no = round_no
 
 
-# session-lifetime inverted file index per corpus (see _url_file_map);
-# single entry — a new corpus unpersists and replaces the previous map
-_URL_FILE_MAP_CACHE: dict[tuple, DataFrame] = {}
+# session-lifetime inverted file index per corpus (see _url_file_map).
+# Values: int = prescans seen so far (build lazily on the SECOND prescan —
+# a single-crawl process keeps the cheaper row-group-pruned IN scan),
+# DataFrame = the cached map. Keyed by SparkSession identity so a map
+# never outlives its session; single map entry — a new corpus unpersists
+# and replaces the previous one.
+_URL_FILE_MAP_CACHE: dict[tuple, "DataFrame | int"] = {}
 
 
 def _tokens_col(sleep_col, round_budget_s: float):
@@ -408,31 +412,41 @@ class Crawler:
 
     def _url_file_map(self) -> DataFrame | None:
         """(url, _f) inverted file index over the raw corpus scan, built
-        ONCE per (session, pages_path, file set) and Spark-cached — every
-        subsequent prescan (index candidates, extraction prune) becomes a
-        tiny probe of the cached map instead of a fresh url-column scan of
-        the corpus. One full url-column pass amortizes across every crawl
-        of the same corpus in the process (the politeness bench runs three;
-        the contract gate runs five). The 100-TB analogue is table
-        metadata (Iceberg manifests / file url stats) — local parquet has
-        no such index, so the engine materializes one. Single-entry cache:
-        a new corpus evicts (unpersists) the old map."""
+        on the SECOND prescan of the same (session, pages_path, file set)
+        and Spark-cached — from then on every prescan (index candidates,
+        extraction prune) is a tiny probe of the cached map instead of a
+        fresh url-column scan of the corpus. The first prescan keeps the
+        cheaper row-group-pruned IN path (a single-crawl process never
+        pays the full url-column pass); the build amortizes across every
+        further crawl of the same corpus in the process (the politeness
+        bench runs three; the contract gate runs five). The 100-TB
+        analogue is table metadata (Iceberg manifests / file url stats) —
+        local parquet has no such index, so the engine materializes one.
+        Single map entry: a new corpus evicts (unpersists) the old one."""
         if self.pages_path is None or not self._pages_is_raw_scan():
             return None
-        key = (self.pages_path, tuple(sorted(self.pages.inputFiles())))
+        key = (id(self.spark), self.pages_path, tuple(sorted(self.pages.inputFiles())))
         cached = _URL_FILE_MAP_CACHE.get(key)
-        if cached is None:
-            for old in _URL_FILE_MAP_CACHE.values():
-                old.unpersist()
-            _URL_FILE_MAP_CACHE.clear()
-            cached = (
-                self.spark.read.parquet(self.pages_path)
-                .select("url", F.input_file_name().alias("_f"))
-                .cache()
-            )
-            cached.count()  # materialize the cache once
-            _URL_FILE_MAP_CACHE[key] = cached
-        return cached
+        if isinstance(cached, DataFrame):
+            return cached
+        if cached is None:  # first prescan: count it, keep the IN path
+            _URL_FILE_MAP_CACHE[key] = 1
+            return None
+        for k, old in list(_URL_FILE_MAP_CACHE.items()):
+            if isinstance(old, DataFrame):
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # a map from a stopped session has nothing to free
+                del _URL_FILE_MAP_CACHE[k]
+        fmap = (
+            self.spark.read.parquet(self.pages_path)
+            .select("url", F.input_file_name().alias("_f"))
+            .cache()
+        )
+        fmap.count()  # materialize the cache once
+        _URL_FILE_MAP_CACHE[key] = fmap
+        return fmap
 
     def _prune_file_list(
         self, keys: DataFrame, url_col: str, key_urls: list[str] | None = None

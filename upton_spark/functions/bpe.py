@@ -116,7 +116,13 @@ class BPETokenizer:
             self.vocab[b2u[b]] = b
         for a, b in self.merges:
             self.vocab[a + b] = len(self.vocab)
+        # word -> ids memo, BOUNDED: webtext's pre-token vocabulary is
+        # unbounded (urls, ids, numbers), and the tokenizer lives for the
+        # whole executor worker (vendored_tokenizer is process-cached), so
+        # an uncapped memo grows RSS until the worker dies. Full clear on
+        # overflow — the hot head (common words) repopulates in one batch.
         self._word_cache: dict[str, list[int]] = {}
+        self._word_cache_cap = 1 << 18
 
     def _encode_word(self, word: str) -> list[int]:
         ids = self._word_cache.get(word)
@@ -133,6 +139,8 @@ class BPETokenizer:
                 break
             units[best_i : best_i + 2] = [units[best_i] + units[best_i + 1]]
         ids = [self.vocab[u] for u in units]
+        if len(self._word_cache) >= self._word_cache_cap:
+            self._word_cache.clear()
         self._word_cache[word] = ids
         return ids
 

@@ -322,7 +322,22 @@ def duplicate_components(
     labels = (
         edges.select(F.col("x").alias("node")).distinct().withColumn("label", F.col("node"))
     )
-    changed = 0
+    def _improvable(lbls: DataFrame) -> int:
+        """1 if another propagation pass would still lower some label."""
+        neighbor_min = (
+            edges.join(lbls, edges.y == lbls.node)
+            .groupBy("x")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("x", "node")
+        )
+        return (
+            lbls.join(neighbor_min, "node")
+            .filter(F.col("nlabel") < F.col("label"))
+            .limit(1)
+            .count()
+        )
+
+    changed = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.y == labels.node)
@@ -343,12 +358,15 @@ def duplicate_components(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
-    if changed != 0:
-        # falling through silently would hand callers PARTIALLY-propagated
-        # labels — "keep one doc per component" would then under-dedup with
-        # no signal. Label-hop diameter of near-dup components is single
-        # digits, so hitting this means the graph is pathological (or
-        # max_iters was lowered); fail loudly rather than return wrong data.
+    # Convergence must be PROVEN, never assumed: if the loop's last pass
+    # still changed labels (or never ran, max_iters=0), one extra probe
+    # checks whether a further pass would lower anything — the last pass
+    # may legitimately have been the finishing one. Falling through
+    # silently would hand callers PARTIALLY-propagated labels ("keep one
+    # doc per component" would under-dedup with no signal); label-hop
+    # diameter of near-dup components is single digits, so an actual raise
+    # means a pathological graph or a lowered max_iters.
+    if (changed is None or changed != 0) and _improvable(labels) != 0:
         raise RuntimeError(
             f"duplicate_components did not converge within max_iters={max_iters}; "
             "labels are partially propagated — raise max_iters"

@@ -127,7 +127,14 @@ def decode_gif(data: bytes) -> np.ndarray:
                         ordered[r] = grid[src]
                         src += 1
                 grid = ordered
-            return palette[np.clip(grid, 0, len(palette) - 1)]
+            if int(grid.max(initial=0)) >= len(palette):
+                # loud, never wrong pixels: a corrupt stream or undersized
+                # color table must not silently clamp to the last entry
+                raise ValueError(
+                    f"GIF pixel index {int(grid.max())} outside the "
+                    f"{len(palette)}-entry color table"
+                )
+            return palette[grid]
         elif block == 0x3B:  # trailer
             break
         else:

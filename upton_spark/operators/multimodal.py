@@ -292,14 +292,16 @@ def frame_sample(
     codec ships in this container)."""
     if use_container_duration:
 
-        @F.pandas_udf(T.IntegerType())
+        # long, not int: mvhd v1 carries 64-bit durations (a 90kHz-timescale
+        # stream past ~24.8 days would overflow int32 and wrap/raise)
+        @F.pandas_udf(T.LongType())
         def dur(payload: pd.Series) -> pd.Series:
             return pd.Series(
                 [
                     mp4_duration_ms(bytes(p)) if p is not None else 0
                     for p in payload
                 ],
-                dtype="int32",
+                dtype="int64",
             )
 
         with_duration = media.select(

@@ -188,7 +188,12 @@ def repetition_stats(
     size(filter(toks, x==t)))`) is O(n_tokens x n_distinct) INSIDE one
     row — a 100k-token document costs ~10^9 comparisons in a single task;
     the explode+groupBy shape spreads the same work linearly across the
-    cluster and is skew-safe (partial aggregation bounds any one task)."""
+    cluster and is skew-safe (partial aggregation bounds any one task).
+
+    Contract (shared by every doc-keyed operator here): ``doc_id`` is a
+    non-null unique key. The groupBy/join shape merges gram counts across
+    rows sharing a doc_id and never matches a NULL one — both violate the
+    documents-table key contract rather than this operator."""
     trimmed = F.trim(F.lower(F.col(text_col)))
     toks = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
