@@ -578,6 +578,19 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, F.col("lang") == "en", n_buckets=4096).orderBy("doc_id")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (LBFS/FastCDC family): token-hash mask
+    boundaries (expected 32-token chunks) with oversized segments re-split
+    at 48 — the shift-resistant storage-dedup primitive (equal chunk_hash
+    across docs = shared block). Oracle replays the exact cut rule via
+    md5_number_lower >> 2 and the same re-split arithmetic in DuckDB list
+    lambdas."""
+    from upton_spark.operators.dedup_docs import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return cdc_chunks(docs, mask_bits=5, max_len=48).orderBy("doc_id", "chunk_id")
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring: avg negative log-likelihood per doc
     under a hashed-bigram bag model trained on the English slice (lower =
@@ -1349,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "planned_admission": q_planned_admission,  # new in r4 (crawl planning wired)
         "gopher_quality": q_gopher_quality,  # new in r4 (Gopher structural rules)
         "lm_perplexity": q_lm_perplexity,  # new in r4 (CCNet LM quality score)
+        "cdc_chunks": q_cdc_chunks,  # new in r4 (content-defined chunking)
         # crawl/url family
         "url_md5": q_url_md5,
         "slug": q_slug,
@@ -2580,6 +2594,39 @@ def oracle_sql() -> dict[str, str]:
                         AND alpha_ratio > 0.8
                         AND stop_hits >= 2 AS INT) AS gopher_pass
             FROM m
+        """,
+        "cdc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE trim(text) <> ''
+            ), h AS (
+              SELECT doc_id, w, len(w) AS n,
+                     list_transform(w, x -> (md5_number_lower(lower(x)) // 4)) AS hs
+              FROM t
+            ), c AS (
+              SELECT doc_id, w,
+                     list_filter(range(1, n + 1),
+                                 i -> ((hs[i] % 32) = 0) OR (i = n)) AS cuts
+              FROM h
+            ), segs AS (
+              SELECT doc_id,
+                     flatten(list_transform(range(1, len(cuts) + 1), j ->
+                       list_transform(
+                         range(0, CAST(ceil((cuts[j] - coalesce(cuts[j-1], 0))
+                                            / 48.0) AS BIGINT)),
+                         k -> list_slice(w,
+                                         coalesce(cuts[j-1], 0) + 1 + k * 48,
+                                         least(cuts[j],
+                                               coalesce(cuts[j-1], 0) + (k + 1) * 48))
+                       ))) AS chunks
+              FROM c
+            )
+            SELECT doc_id, CAST(i - 1 AS INT) AS chunk_id,
+                   CAST(len(chunks[i]) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(chunks[i], ' ')) AS chunk_hash,
+                   array_to_string(chunks[i], ' ') AS chunk_text
+            FROM segs, unnest(range(1, len(chunks) + 1)) AS u(i)
+            ORDER BY doc_id, chunk_id
         """,
         "pii_scrub": _pii_scrub_oracle(),
         **({"dsir_weights": dsir} if dsir is not None else {}),

@@ -324,3 +324,66 @@ def test_paragraph_dedup_matches_reference_on_random_corpora(spark):
         assert got == reference(texts)
 
     run()
+
+
+class TestCdcChunks:
+    def _tok_stream(self, n, seed=5):
+        import random
+
+        rng = random.Random(seed)
+        return [f"w{rng.randrange(500)}" for _ in range(n)]
+
+    def test_reconstruction_and_max_len(self, spark):
+        from upton_spark.operators.dedup_docs import cdc_chunks
+
+        text = " ".join(self._tok_stream(300))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            cdc_chunks(df, mask_bits=4, max_len=24).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert all(1 <= r["n_tokens"] <= 24 for r in rows)
+        assert " ".join(r["chunk_text"] for r in rows) == text
+
+    def test_boundaries_match_python_replay(self, spark):
+        """The cut rule is exactly (md5_number_lower(lower(tok)) >> 2) %
+        2^mask_bits == 0 — replayed in pure Python per token."""
+        import hashlib
+
+        from upton_spark.operators.dedup_docs import cdc_chunks
+
+        toks = self._tok_stream(120, seed=9)
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        rows = sorted(
+            cdc_chunks(df, mask_bits=4, max_len=1000).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+
+        def h(t):
+            return int.from_bytes(hashlib.md5(t.lower().encode()).digest()[8:16], "little") >> 2
+
+        expect, cur = [], []
+        for i, t in enumerate(toks, start=1):
+            cur.append(t)
+            if h(t) % 16 == 0 or i == len(toks):
+                expect.append(" ".join(cur))
+                cur = []
+        assert [r["chunk_text"] for r in rows] == expect
+
+    def test_shift_resistance_vs_fixed_windows(self, spark):
+        """THE content-defined property: prepending one token re-aligns
+        every chunk after the first boundary (hashes shared with the
+        original), while fixed-width windows shift everywhere."""
+        from upton_spark.operators.dedup_docs import cdc_chunks
+
+        toks = self._tok_stream(400, seed=13)
+        df = spark.createDataFrame(
+            [(1, " ".join(toks)), (2, " ".join(["inserted"] + toks))],
+            "doc_id long, text string",
+        )
+        out = cdc_chunks(df, mask_bits=4, max_len=64).collect()
+        a = {r["chunk_hash"] for r in out if r["doc_id"] == 1}
+        b = {r["chunk_hash"] for r in out if r["doc_id"] == 2}
+        # all of doc 1's chunks except (at most) the first re-align in doc 2
+        assert len(a - b) <= 1
+        assert len(a) >= 10  # the property was tested on a real chunking

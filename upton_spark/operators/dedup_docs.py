@@ -514,6 +514,84 @@ def _positional_shingle_hashes(text: str, k: int, _cache: dict) -> np.ndarray:
         return windows @ weights
 
 
+def cdc_chunks(
+    df: DataFrame,
+    mask_bits: int = 6,
+    max_len: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the storage-dedup
+    primitive — LBFS, Muthitacharoen et al. 2001; FastCDC 2016, both
+    public): a chunk boundary falls AFTER token i when the token's 64-bit
+    hash satisfies ``hash % 2^mask_bits == 0`` (expected chunk length
+    2^mask_bits tokens), so an insertion early in a document shifts only
+    the chunk it lands in — every later chunk re-aligns and its hash still
+    matches the dedup store. Fixed-width chunking has no such property
+    (one inserted token shifts every downstream boundary).
+
+    Declarative deviation from FastCDC, documented: no min-size
+    normalization; instead any mask-defined segment longer than
+    ``max_len`` is re-split into fixed ``max_len`` windows — this keeps
+    the whole operator a pure array-expression pipeline (cut positions →
+    segments → oversized re-split → explode), map-only with no UDF except
+    the Arrow-batched token-hash stream, and exactly SQL-replayable (the
+    hash is md5_number_lower >> 2, the same chain every signature op here
+    uses). Returns (id, chunk_id, n_tokens, chunk_hash, chunk_text);
+    equal chunk_hash across documents = shared content block."""
+    mask = 1 << mask_bits
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def tok_hashes(text: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series(
+            [
+                _positional_shingle_hashes(t, 1, cache).astype(np.int64).tolist()
+                for t in text
+            ]
+        )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), toks.alias("_toks"), tok_hashes(F.col(text_col)).alias("_hs")
+    )
+    n = F.size("_toks")
+    # ordered cut positions (1-based, cut AFTER the position); the doc end
+    # is always a cut
+    cuts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (F.element_at("_hs", i) % mask == 0) | (i == n),
+    )
+    # mask segments -> fixed re-split of any segment past max_len
+    def seg_chunks(c, j):
+        start = F.when(j == 0, F.lit(1)).otherwise(F.element_at("_cuts", j) + 1)
+        seg_len = c - start + 1
+        n_sub = F.ceil(seg_len / F.lit(float(max_len))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_sub - 1),
+            lambda k: F.slice(
+                F.col("_toks"),
+                start + k * max_len,
+                F.least(F.lit(max_len), seg_len - k * F.lit(max_len)),
+            ),
+        )
+
+    chunks = base.withColumn("_cuts", cuts).select(
+        id_col,
+        F.posexplode(F.flatten(F.transform(F.col("_cuts"), seg_chunks))).alias(
+            "chunk_id", "_chunk"
+        ),
+    )
+    text_of = F.array_join("_chunk", " ")
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.md5(text_of).alias("chunk_hash"),
+        text_of.alias("chunk_text"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     k: int = 8,
