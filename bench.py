@@ -206,6 +206,9 @@ HEADLINE_QUERIES = [
     "blocklist_gate",
     "bpe_token_stats",
     "planned_admission",
+    "gopher_quality",
+    "lm_perplexity",
+    "cdc_chunks",
 ]
 
 
