@@ -578,6 +578,82 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, F.col("lang") == "en", n_buckets=4096).orderBy("doc_id")
 
 
+def _synth_media_validate_rows(n: int = 60):
+    """Deterministic media assets for the metadata-validation query: real
+    png/gif/jpeg container bytes (vendored codecs / header shells), with
+    every 5th asset's sidecar dimensions LYING and every 7th asset's bytes
+    truncated — pure function of the asset index, so the oracle re-derives
+    the expected verdicts with the same parsers at generation time."""
+    import numpy as np
+
+    from upton_spark.operators.gif_codec import encode_gif_grey
+    from upton_spark.operators.multimodal import encode_jpeg_stub
+    from upton_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 5), 6 + (i % 4)
+        fmt = ["png", "gif", "jpeg"][i % 3]
+        if fmt == "png":
+            px = ((np.arange(h * w, dtype=np.int64) * (i + 3)) % 256).astype(
+                "uint8"
+            ).reshape(h, w)
+            payload = encode_png(px)
+        elif fmt == "gif":
+            g = ((np.arange(h * w, dtype=np.int64) * (i + 3)) % 256).reshape(h, w) / 255.0
+            payload = encode_gif_grey(g)
+        else:
+            payload = encode_jpeg_stub(w, h)
+        if i % 7 == 0:
+            payload = payload[: max(2, len(payload) // 3)]  # corrupt bytes
+        meta_w, meta_h = (w + 2, h) if i % 5 == 0 else (w, h)  # lying sidecar
+        rows.append(
+            (i, f"http://media.example.org/{fmt}/{i}", payload,
+             ("image", fmt, meta_w, meta_h, None))
+        )
+    return rows
+
+
+def q_media_meta_check(spark, sf_dir):
+    """Media metadata validation against REAL container bytes: per-asset
+    dimensions parsed from png (IHDR via the vendored decoder), gif
+    (logical screen descriptor), and jpeg (SOF marker walk) compared to the
+    sidecar meta — lying sidecars surface as 'mismatch', corrupt payloads
+    as 'parse_error'. Oracle: the asset table is a pure function of the
+    index, so generation replays the same parsers in Python and bakes the
+    expected verdicts as VALUES."""
+    from upton_spark.operators.multimodal import MEDIA, media_meta_check
+
+    media = spark.createDataFrame(_synth_media_validate_rows(), schema=MEDIA)
+    return media_meta_check(media).orderBy("asset_id")
+
+
+def _media_meta_check_oracle() -> str:
+    """Baked-verdict oracle for q_media_meta_check: run the SAME pure-Python
+    parsers over the deterministic assets at generation time."""
+    from upton_spark.operators.multimodal import container_dimensions
+
+    vals = []
+    for (aid, _url, payload, (_mt, fmt, mw, mh, _d)) in _synth_media_validate_rows():
+        try:
+            w, h = container_dimensions(bytes(payload), fmt)
+            rw, rh = str(w), str(h)
+            status = "ok" if (mw == w and mh == h) else "mismatch"
+        except Exception:
+            rw = rh = "NULL"
+            status = "parse_error"
+        vals.append(f"({aid},'{fmt}',{mw},{mh},{rw},{rh},'{status}')")
+    return (
+        "SELECT CAST(asset_id AS BIGINT) AS asset_id, fmt, "
+        "CAST(meta_width AS INT) AS meta_width, CAST(meta_height AS INT) AS meta_height, "
+        "CAST(real_width AS INT) AS real_width, CAST(real_height AS INT) AS real_height, "
+        "status FROM (VALUES "
+        + ",".join(vals)
+        + ") v(asset_id, fmt, meta_width, meta_height, real_width, real_height, status) "
+        "ORDER BY asset_id"
+    )
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (LBFS/FastCDC family): token-hash mask
     boundaries (expected 32-token chunks) with oversized segments re-split
@@ -1363,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,  # new in r4 (Gopher structural rules)
         "lm_perplexity": q_lm_perplexity,  # new in r4 (CCNet LM quality score)
         "cdc_chunks": q_cdc_chunks,  # new in r4 (content-defined chunking)
+        "media_meta_check": q_media_meta_check,  # new in r4 (container-header validation)
         # crawl/url family
         "url_md5": q_url_md5,
         "slug": q_slug,
@@ -2357,6 +2434,7 @@ def oracle_sql() -> dict[str, str]:
         **({"semantic_dedup": semded} if semded is not None else {}),
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
         **({"lm_perplexity": lmppl} if lmppl is not None else {}),
+        "media_meta_check": _media_meta_check_oracle(),
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """

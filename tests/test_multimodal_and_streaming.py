@@ -467,3 +467,46 @@ def test_mp4_container_duration_drives_frame_sampling(spark):
     # the meta path (default) still honors the sidecar value
     meta_rows = frame_sample(media, every_ms=1000).collect()
     assert len([r for r in meta_rows if r["asset_id"] == 0]) == 10
+
+
+def test_jpeg_header_parsing_and_media_meta_check(spark):
+    """Real container-header validation across png/gif/jpeg: dimensions
+    parsed from bytes, lying sidecars flagged 'mismatch', corrupt payloads
+    'parse_error', non-image formats 'skipped'."""
+    import numpy as np
+    import pytest as _pytest
+
+    from upton_spark.operators.gif_codec import encode_gif_grey
+    from upton_spark.operators.multimodal import (
+        MEDIA,
+        encode_jpeg_stub,
+        jpeg_dimensions,
+        media_meta_check,
+    )
+    from upton_spark.operators.png_codec import encode_png
+
+    assert jpeg_dimensions(encode_jpeg_stub(123, 45)) == (123, 45)
+    with _pytest.raises(ValueError):
+        jpeg_dimensions(b"\x00\x00not a jpeg")
+    with _pytest.raises(ValueError):
+        jpeg_dimensions(encode_jpeg_stub(9, 9)[:6])  # truncated before SOF
+
+    png = encode_png(np.zeros((6, 8), dtype=np.uint8))
+    gif = encode_gif_grey(np.zeros((5, 7)))
+    jpg = encode_jpeg_stub(10, 4)
+    rows = [
+        (0, "u0", png, ("image", "png", 8, 6, None)),       # ok
+        (1, "u1", gif, ("image", "gif", 7, 99, None)),      # lying height
+        (2, "u2", jpg, ("image", "jpeg", 10, 4, None)),     # ok
+        (3, "u3", jpg[:5], ("image", "jpeg", 10, 4, None)), # corrupt
+        (4, "u4", b"RIFF....", ("audio", "wav", None, None, 900)),  # skipped
+        (5, "u5", png, ("image", "png", None, None, None)),  # no sidecar dims -> ok
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    out = {r["asset_id"]: r for r in media_meta_check(media).collect()}
+    assert out[0]["status"] == "ok" and (out[0]["real_width"], out[0]["real_height"]) == (8, 6)
+    assert out[1]["status"] == "mismatch" and out[1]["real_height"] == 5
+    assert out[2]["status"] == "ok"
+    assert out[3]["status"] == "parse_error" and out[3]["real_width"] is None
+    assert out[4]["status"] == "skipped"
+    assert out[5]["status"] == "ok"  # nothing to contradict

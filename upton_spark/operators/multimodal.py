@@ -278,6 +278,127 @@ def encode_mp4_stub(duration_ms: int) -> bytes:
     return ftyp + moov
 
 
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from real JPEG bytes — JFIF/ISO 10918 marker walk to
+    the first SOF0-SOF15 frame header (skipping the non-SOF markers in that
+    numeric range: DHT/JPG/DAC). Entropy decode (Huffman+DCT) stays
+    honestly stubbed; header parsing is what corpus hygiene needs."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI marker)")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte padding before a marker
+            pos -= 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers, no length field
+        if pos + 2 > n:
+            break
+        seg_len = struct.unpack(">H", payload[pos : pos + 2])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 7 > n:
+                break
+            h, w = struct.unpack(">HH", payload[pos + 3 : pos + 7])
+            return int(w), int(h)
+        if marker == 0xDA:  # start of scan: entropy data follows, no SOF seen
+            break
+        pos += seg_len
+    raise ValueError("no SOF frame header found")
+
+
+def encode_jpeg_stub(width: int, height: int) -> bytes:
+    """Minimal structurally-valid JPEG shell (SOI + APP0/JFIF + SOF0 + EOI)
+    declaring the given dimensions — a real header for tests; carries no
+    entropy-coded scan (the decode stub's domain)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 72, 72, 0, 0
+    )[:6]
+    sof0_body = struct.pack(">BHHB", 8, height, width, 1) + b"\x01\x11\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof0_body)) + sof0_body
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def container_dimensions(payload: bytes, fmt: str) -> tuple[int, int]:
+    """(width, height) parsed from the REAL container bytes for the image
+    formats with a header parser here: png (IHDR), gif (logical screen
+    descriptor), jpeg (SOF marker)."""
+    fmt = (fmt or "").lower()
+    if fmt == "png":
+        from upton_spark.operators.png_codec import decode_png
+
+        arr = decode_png(payload)  # full decode: dims from the pixel grid
+        return int(arr.shape[1]), int(arr.shape[0])
+    if fmt == "gif":
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF")
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if fmt == "jpeg":
+        return jpeg_dimensions(payload)
+    raise NotImplementedError(f"no dimension parser for format {fmt!r}")
+
+
+def media_meta_check(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Corpus-hygiene validation: parse each image asset's dimensions from
+    its REAL container bytes (png/gif/jpeg header parsers above) and
+    compare against the sidecar ``meta`` struct — crawled media metadata
+    lies constantly (mislabeled formats, stripped or stale dimensions).
+    Returns (asset_id, fmt, meta_width, meta_height, real_width,
+    real_height, status) with status in parse_error | mismatch | ok;
+    non-image formats pass through as 'skipped'. Arrow-batched mapInPandas
+    — constant memory per task, the MEDIA batch-shape contract."""
+    cols = media.select(
+        "asset_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").alias("meta_width"),
+        F.col("meta.height").alias("meta_height"),
+        F.col(payload_col).alias("_payload"),
+    )
+    schema = (
+        "asset_id long, fmt string, meta_width int, meta_height int, "
+        "real_width int, real_height int, status string"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "asset_id": pdf["asset_id"].astype("int64"),
+                "fmt": pdf["fmt"],
+                "meta_width": pdf["meta_width"],
+                "meta_height": pdf["meta_height"],
+            }
+            rw, rh, status = [], [], []
+            for payload, fmt, mw, mh in zip(
+                pdf["_payload"], pdf["fmt"], pdf["meta_width"], pdf["meta_height"]
+            ):
+                if (fmt or "").lower() not in ("png", "gif", "jpeg"):
+                    rw.append(None), rh.append(None), status.append("skipped")
+                    continue
+                try:
+                    w, h = container_dimensions(
+                        bytes(payload) if payload is not None else b"", fmt
+                    )
+                except Exception:
+                    rw.append(None), rh.append(None), status.append("parse_error")
+                    continue
+                rw.append(w)
+                rh.append(h)
+                # NULL meta ints arrive as NaN in the Arrow->pandas batch
+                ok = (pd.isna(mw) or int(mw) == w) and (pd.isna(mh) or int(mh) == h)
+                status.append("ok" if ok else "mismatch")
+            out["real_width"] = pd.array(rw, dtype="Int32")
+            out["real_height"] = pd.array(rh, dtype="Int32")
+            out["status"] = status
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, schema=schema)
+
+
 def frame_sample(
     media: DataFrame,
     every_ms: int = 1000,
