@@ -114,13 +114,10 @@ class KilledCrawl(RuntimeError):
         self.round_no = round_no
 
 
-# session-lifetime inverted file index per corpus (see _url_file_map).
-# Values: int = prescans seen so far (build lazily on the SECOND prescan —
-# a single-crawl process keeps the cheaper row-group-pruned IN scan),
-# DataFrame = the cached map. Keyed by SparkSession identity so a map
-# never outlives its session; single map entry — a new corpus unpersists
-# and replaces the previous one.
-_URL_FILE_MAP_CACHE: dict[tuple, "DataFrame | int"] = {}
+# session-lifetime inverted file index per corpus (see _url_file_map),
+# keyed by SparkSession identity so a map never outlives its session;
+# single entry — a new corpus unpersists and replaces the previous map.
+_URL_FILE_MAP_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _tokens_col(sleep_col, round_budget_s: float):
@@ -410,41 +407,36 @@ class Crawler:
             return None
         return self._latest_of(self.spark.read.parquet(*files))
 
-    def _url_file_map(self) -> DataFrame | None:
-        """(url, _f) inverted file index over the raw corpus scan, built
-        on the SECOND prescan of the same (session, pages_path, file set)
-        and Spark-cached — from then on every prescan (index candidates,
-        extraction prune) is a tiny probe of the cached map instead of a
-        fresh url-column scan of the corpus. The first prescan keeps the
-        cheaper row-group-pruned IN path (a single-crawl process never
-        pays the full url-column pass); the build amortizes across every
-        further crawl of the same corpus in the process (the politeness
-        bench runs three; the contract gate runs five). The 100-TB
-        analogue is table metadata (Iceberg manifests / file url stats) —
-        local parquet has no such index, so the engine materializes one.
-        Single map entry: a new corpus evicts (unpersists) the old one."""
+    def _url_file_map(self, build: bool = False) -> DataFrame | None:
+        """(url, _f) inverted file index over the raw corpus scan,
+        Spark-cached per (session, pages_path, file set). Built ONLY when a
+        prescan must stream the full url column anyway (the semi-join
+        path, ``build=True``) — caching what that scan reads costs no
+        extra corpus IO, and from then on EVERY prescan (index candidates,
+        extraction prune, later crawls of the same corpus) is a tiny probe
+        of the map. Driver-known candidate sets keep the row-group-pruned
+        IN path until a map exists, so no workload ever pays a url-column
+        pass it wasn't already paying. The 100-TB analogue is table
+        metadata (Iceberg manifests / file url stats) — local parquet has
+        no such index, so the engine materializes one. Single entry: a new
+        corpus evicts (unpersists) the old map."""
         if self.pages_path is None or not self._pages_is_raw_scan():
             return None
         key = (id(self.spark), self.pages_path, tuple(sorted(self.pages.inputFiles())))
         cached = _URL_FILE_MAP_CACHE.get(key)
-        if isinstance(cached, DataFrame):
+        if cached is not None or not build:
             return cached
-        if cached is None:  # first prescan: count it, keep the IN path
-            _URL_FILE_MAP_CACHE[key] = 1
-            return None
         for k, old in list(_URL_FILE_MAP_CACHE.items()):
-            if isinstance(old, DataFrame):
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass  # a map from a stopped session has nothing to free
-                del _URL_FILE_MAP_CACHE[k]
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # a map from a stopped session has nothing to free
+            del _URL_FILE_MAP_CACHE[k]
         fmap = (
             self.spark.read.parquet(self.pages_path)
             .select("url", F.input_file_name().alias("_f"))
             .cache()
         )
-        fmap.count()  # materialize the cache once
         _URL_FILE_MAP_CACHE[key] = fmap
         return fmap
 
@@ -457,7 +449,7 @@ class Crawler:
             return None
         if not self._pages_is_raw_scan():
             return None
-        fmap = self._url_file_map()
+        fmap = self._url_file_map(build=key_urls is None)
         if fmap is not None:
             if key_urls is not None:
                 probe = fmap.filter(F.col("url").isin(key_urls))

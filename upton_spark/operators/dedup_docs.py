@@ -541,19 +541,33 @@ def cdc_chunks(
     equal chunk_hash across documents = shared content block."""
     mask = 1 << mask_bits
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def tok_hashes(text: pd.Series) -> pd.Series:
+    # ONE UDF yields both the token array and its hash stream from the SAME
+    # Python str.split() (unicode whitespace, empties dropped) — deriving
+    # tokens Spark-side (ASCII-\s split of a space-trimmed string) while
+    # hashing Python-split tokens misaligns the two arrays on any leading/
+    # unicode whitespace, silently cutting on the wrong token's hash.
+    # Output text is therefore token-normalized (single spaces), the same
+    # contract exact_substring_dedup's rebuild documents.
+    @F.pandas_udf("toks array<string>, hs array<long>")
+    def tok_and_hash(text: pd.Series) -> pd.DataFrame:
         cache: dict = {}
-        return pd.Series(
-            [
+        toks_out, hs_out = [], []
+        for t in text:
+            toks = (t or "").split()
+            toks_out.append(toks)
+            hs_out.append(
                 _positional_shingle_hashes(t, 1, cache).astype(np.int64).tolist()
-                for t in text
-            ]
-        )
+            )
+        return pd.DataFrame({"toks": toks_out, "hs": hs_out})
 
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    base = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), toks.alias("_toks"), tok_hashes(F.col(text_col)).alias("_hs")
+    base = (
+        df.select(F.col(id_col), tok_and_hash(F.col(text_col)).alias("_th"))
+        .select(
+            id_col,
+            F.col("_th.toks").alias("_toks"),
+            F.col("_th.hs").alias("_hs"),
+        )
+        .filter(F.size("_toks") > 0)
     )
     n = F.size("_toks")
     # ordered cut positions (1-based, cut AFTER the position); the doc end

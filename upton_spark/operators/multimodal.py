@@ -295,6 +295,8 @@ def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
         if marker == 0xFF:  # fill byte padding before a marker
             pos -= 1
             continue
+        if marker == 0xD9:  # EOI before any SOF: stream ends, no frame
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers, no length field
         if pos + 2 > n:
@@ -334,10 +336,14 @@ def container_dimensions(payload: bytes, fmt: str) -> tuple[int, int]:
         arr = decode_png(payload)  # full decode: dims from the pixel grid
         return int(arr.shape[1]), int(arr.shape[0])
     if fmt == "gif":
-        if payload[:6] not in (b"GIF87a", b"GIF89a"):
-            raise ValueError("not a GIF")
-        w, h = struct.unpack("<HH", payload[6:10])
-        return int(w), int(h)
+        from upton_spark.operators.gif_codec import decode_gif
+
+        # full decode (like png), not just the 10-byte logical screen
+        # descriptor: a truncated/corrupt pixel stream must surface as
+        # parse_error, and the first frame's actual shape is the truth
+        # (it can differ from the screen descriptor)
+        arr = decode_gif(payload)
+        return int(arr.shape[1]), int(arr.shape[0])
     if fmt == "jpeg":
         return jpeg_dimensions(payload)
     raise NotImplementedError(f"no dimension parser for format {fmt!r}")
@@ -350,8 +356,12 @@ def media_meta_check(media: DataFrame, payload_col: str = "payload") -> DataFram
     lies constantly (mislabeled formats, stripped or stale dimensions).
     Returns (asset_id, fmt, meta_width, meta_height, real_width,
     real_height, status) with status in parse_error | mismatch | ok;
-    non-image formats pass through as 'skipped'. Arrow-batched mapInPandas
-    — constant memory per task, the MEDIA batch-shape contract."""
+    non-image formats pass through as 'skipped'. Validation depth: png and
+    gif are FULL decodes (a truncated pixel stream is parse_error), jpeg
+    is header-only (SOF dimensions; no entropy decoder in this container,
+    so a corrupt scan section after a valid header is NOT caught).
+    Arrow-batched mapInPandas — constant memory per task, the MEDIA
+    batch-shape contract."""
     cols = media.select(
         "asset_id",
         F.col("meta.format").alias("fmt"),
@@ -429,10 +439,13 @@ def frame_sample(
             "asset_id", payload_col, dur(F.col(payload_col)).alias("duration_ms")
         )
     else:
+        # long in BOTH branches: xxhash64 hashes int and long differently,
+        # so a type drift between the sidecar and container modes would
+        # silently change every frame_key
         with_duration = media.select(
             "asset_id",
             payload_col,
-            F.coalesce(F.col("meta.duration_ms"), F.lit(0)).alias("duration_ms"),
+            F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long").alias("duration_ms"),
         )
     frames = with_duration.withColumn(
         "frame_ms",
@@ -445,8 +458,10 @@ def frame_sample(
     )
     return frames.select(
         "asset_id",
-        "frame_ms",
-        F.xxhash64(F.col(payload_col), F.col("frame_ms")).alias("frame_key"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.xxhash64(
+            F.col(payload_col), F.col("frame_ms").cast("long")
+        ).alias("frame_key"),
     )
 
 
