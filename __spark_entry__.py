@@ -1113,6 +1113,79 @@ def q_link_pagerank(spark, sf_dir):
     return ranks.select("doc_id", F.round("rank", 6).alias("rank")).orderBy("doc_id")
 
 
+def q_link_hits(spark, sf_dir):
+    """HITS hubs/authorities over the synthetic link graph (the reference's
+    index->instance model scored from links: hubs = listing pages,
+    authorities = content pages). 5 iterations, mean-1.0 normalization;
+    oracle unrolls the identical updates as chained CTEs; round 6 absorbs
+    cross-engine summation-order noise."""
+    from upton_spark.operators.webgraph import hits, synth_link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_link_graph(docs, fanout=3)
+    out = hits(docs.select("doc_id"), edges, iters=5)
+    return out.select(
+        "doc_id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    ).orderBy("doc_id")
+
+
+def _hits_oracle(iters: int = 5, fanout: int = 3) -> str:
+    """HITS unrolled as chained CTEs — same graph, same update order
+    (authority from hubs, hub from the NEW authorities), same mean-1.0
+    normalization; only summation order differs (~1e-15, absorbed by
+    round 6)."""
+    ks = ",".join(f"({k})" for k in range(fanout))
+    sql = f"""
+        WITH nodes AS (SELECT doc_id FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT d.doc_id AS src,
+                   (d.doc_id*d.doc_id + 7*k.k*d.doc_id + k.k + 1) % nn.n AS dst
+            FROM nodes d CROSS JOIN nn CROSS JOIN (VALUES {ks}) k(k)
+          ) WHERE src <> dst
+        ),
+        h0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+        ar{i} AS (
+          SELECT b.node, coalesce(c.s, CAST(0 AS DOUBLE)) AS auth
+          FROM (SELECT doc_id AS node FROM nodes) b
+          LEFT JOIN (
+            SELECT e.dst AS cnode, SUM(h.hub) AS s
+            FROM edges e JOIN h{p} h ON e.src = h.node GROUP BY e.dst
+          ) c ON c.cnode = b.node
+        ),
+        a{i} AS (
+          SELECT node,
+                 auth / (SUM(auth) OVER () / (SELECT CAST(n AS DOUBLE) FROM nn)) AS auth
+          FROM ar{i}
+        ),
+        hr{i} AS (
+          SELECT b.node, coalesce(c.s, CAST(0 AS DOUBLE)) AS hub
+          FROM (SELECT doc_id AS node FROM nodes) b
+          LEFT JOIN (
+            SELECT e.src AS cnode, SUM(a.auth) AS s
+            FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+          ) c ON c.cnode = b.node
+        ),
+        h{i} AS (
+          SELECT node,
+                 hub / (SUM(hub) OVER () / (SELECT CAST(n AS DOUBLE) FROM nn)) AS hub
+          FROM hr{i}
+        )"""
+    sql += f"""
+        SELECT a.node AS doc_id, round(a.auth, 6) AS authority,
+               round(h.hub, 6) AS hub
+        FROM a{iters} a JOIN h{iters} h ON a.node = h.node
+        ORDER BY doc_id
+    """
+    return sql
+
+
 def q_url_canonicalize(spark, sf_dir):
     """Aggressive URL canonicalization (frontier alias collapse): messy
     synthetic URLs (upper-case scheme/host, default port, tracking params,
@@ -1492,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_extract": q_sitemap_extract,
         # web-graph / crawl planning
         "link_pagerank": q_link_pagerank,
+        "link_hits": q_link_hits,  # new in r4 (HITS hubs/authorities)
         "url_canonicalize": q_url_canonicalize,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_budget": q_crawl_budget,
@@ -1919,6 +1993,7 @@ _WEBGRAPH_ORACLES = {
 def _webgraph_oracles() -> dict[str, str]:
     out = dict(_WEBGRAPH_ORACLES)
     out["link_pagerank"] = _pagerank_oracle()
+    out["link_hits"] = _hits_oracle()
     return out
 
 

@@ -228,3 +228,51 @@ def test_pagerank_priority_and_budget_e2e(spark):
         per_round[r["round"]] = per_round.get(r["round"], 0) + r["fetched"]
     assert all(v <= 3 for v in per_round.values())
     assert len(per_round) >= 6  # 6 instances/host at 1 token -> >=6 rounds
+
+
+def test_planned_crawl_kill_and_resume_identical(spark, pages, tmp_path):
+    """Planning inputs survive kill/resume: a prioritized, budget-capped
+    crawl killed mid-rounds resumes to the identical extraction, seen-set
+    (incl. per-url first_round — priority order preserved across the
+    snapshot boundary), and frontier statuses as an uninterrupted run."""
+    import pytest as _pytest
+
+    from upton_spark.crawler import KilledCrawl
+    from upton_spark.sources.catalog import ManifestCatalog
+
+    prio = spark.createDataFrame(
+        [(f"{BASE}/webinar.html", 0), (f"{BASE}/sixfacts.html", 1)],
+        "url string, priority long",
+    )
+    budgets = spark.createDataFrame(
+        [("www.example.com", 1)], "host string, budget long"
+    )
+
+    def mk(catalog=None):
+        return Crawler(
+            spark, pages, [basic_seed()],
+            url_priorities=prio, host_budgets=budgets,
+            catalog=catalog, clock="2024-03-01 12:00:00",
+        )
+
+    ref = mk().crawl()
+    ref_key = (
+        sorted((r["url"], r["text"]) for r in ref.extracted.collect()),
+        sorted((r["url"], r["first_round"]) for r in ref.urls_seen.collect()),
+        sorted((r["url"], r["status"]) for r in ref.frontier.collect()),
+    )
+    # priority honored in the reference run: webinar first, sixfacts second
+    fr = dict(ref_key[1])
+    assert fr[f"{BASE}/webinar.html"] == 0
+    assert fr[f"{BASE}/sixfacts.html"] == 1
+
+    cat = ManifestCatalog(spark, str(tmp_path / "cat"))
+    with _pytest.raises(KilledCrawl):
+        mk(cat).crawl(stop_after_round=1)
+    resumed = mk(cat).resume()
+    got_key = (
+        sorted((r["url"], r["text"]) for r in resumed.extracted.collect()),
+        sorted((r["url"], r["first_round"]) for r in resumed.urls_seen.collect()),
+        sorted((r["url"], r["status"]) for r in resumed.frontier.collect()),
+    )
+    assert got_key == ref_key

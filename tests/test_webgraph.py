@@ -280,3 +280,37 @@ def test_revisit_intervals_adaptive_rules(spark):
         "u5": 1,    # floor(1/2)=0 clamped up to min
         "u6": 20,
     }
+
+
+def test_hits_matches_numpy_iteration(spark):
+    """HITS (auth from hubs, hub from NEW auths, mean-1 normalization each
+    step) against a direct numpy replay on a hub-and-authority graph."""
+    import numpy as np
+
+    from upton_spark.operators.webgraph import hits
+
+    # node 2 is the authority (everyone points at it); 0 and 4 are hubs
+    edges = [(0, 1), (0, 2), (1, 2), (4, 2), (4, 1), (3, 0)]
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["doc_id"]: (r["authority"], r["hub"])
+        for r in hits(nodes, edf, iters=5).collect()
+    }
+
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1.0
+    h = np.ones(n)
+    for _ in range(5):
+        a = A.T @ h
+        a = a / (a.sum() / n)
+        h = A @ a
+        h = h / (h.sum() / n)
+    for i in range(n):
+        assert got[i][0] == pytest.approx(a[i], abs=1e-9)
+        assert got[i][1] == pytest.approx(h[i], abs=1e-9)
+    # node 2 is the top authority; node 4 (two strong outlinks) a top hub
+    assert max(range(n), key=lambda i: got[i][0]) == 2
+    assert got[4][1] == max(v[1] for v in got.values())

@@ -158,6 +158,71 @@ def pagerank(
     return ranks.select(F.col("node").alias("doc_id"), "rank")
 
 
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, public) as pure DataFrame
+    joins/aggregations — PageRank's crawl-planning sibling: ``authority``
+    finds content pages many hubs point AT, ``hub`` finds index/listing
+    pages that point at good content (exactly the reference's index-page →
+    instance-page model, scored from the link graph itself).
+
+    Per iteration: authority = in-flow of hub scores, then hub = out-flow
+    of the NEW authorities (the classic update order); each side is one
+    key-partitioned join-agg shuffle + a mean-normalization (scores
+    N-scaled to mean 1.0 — the same convention as :func:`pagerank`, and a
+    broadcast scalar rather than a per-iteration driver action);
+    localCheckpoint bounds plan depth at O(1) per iteration. Scores are
+    deterministic up to float summation order (~1e-15) — round outputs
+    (the oracle rounds to 6) before hashing across engines.
+
+    Returns (doc_id, authority, hub)."""
+    n = float(nodes.count())
+    ed = edges.select("src", "dst").localCheckpoint()
+    base = nodes.select(F.col("doc_id").alias("node"))
+    hubs = base.withColumn("hub", F.lit(1.0))
+    auths = base.withColumn("auth", F.lit(1.0))
+
+    def _normalized(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg((F.sum(col) / F.lit(n)).alias("_m"))
+        return (
+            df.crossJoin(F.broadcast(m))
+            .select("node", (F.col(col) / F.col("_m")).alias(col))
+            .localCheckpoint()
+        )
+
+    for _ in range(iters):
+        a_in = (
+            ed.join(hubs, ed.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_s"))
+        )
+        auths = _normalized(
+            base.join(a_in, base.node == a_in.dst, "left").select(
+                "node", F.coalesce("_s", F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        h_out = (
+            ed.join(auths, ed.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_s"))
+        )
+        hubs = _normalized(
+            base.join(h_out, base.node == h_out.src, "left").select(
+                "node", F.coalesce("_s", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+    return (
+        auths.join(hubs, "node")
+        .select(F.col("node").alias("doc_id"), "auth", "hub")
+        .withColumnRenamed("auth", "authority")
+    )
+
+
 def pagerank_priorities(
     ranks: DataFrame, key_col: str = "url", rank_col: str = "rank"
 ) -> DataFrame:
