@@ -42,8 +42,16 @@ def _pretouch(corpus_path: str) -> None:
                 pass
 
 
+# bench protocol version (annotate cross-round comparisons with this):
+#   v1 (r01-r03): single cold measured run
+#   v2 (r04):     page-cache pretouch, best of >=2 runs as headline
+#   v3 (r05+):    pretouch, >=3 frontier runs, MEDIAN as headline
+#                 (best disclosed as best_seconds) — ADVICE r04 bench.py:69
+PROTOCOL = "v3-median-headline"
+
+
 def run_crawl_bench(
-    spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path: str, n_runs: int = 2
+    spark, n_hosts: int, ipp: int, paragraphs: int, corpus_path: str, n_runs: int = 3
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -67,9 +75,10 @@ def run_crawl_bench(
     ).crawl()
     wres.extracted.agg(F.sum(F.length("text"))).collect()
 
-    # >=2 measured runs, report best + median (single measured runs on this
-    # noisy VM spread 2-4x — BENCH/BASELINE.md protocol note); `seconds` /
-    # `urls_per_sec` carry the BEST run, `runs` discloses every measurement
+    # >=3 measured runs (single measured runs on this noisy VM spread 2-4x —
+    # BENCH/BASELINE.md protocol note); `seconds` / `urls_per_sec` carry the
+    # MEDIAN run (protocol v3), best disclosed as best_seconds, `runs` lists
+    # every measurement
     runs: list[dict] = []
     for _ in range(max(1, n_runs)):
         t0 = time.time()
@@ -103,11 +112,16 @@ def run_crawl_bench(
     median = secs[len(secs) // 2] if len(secs) % 2 else round(
         (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2, 2
     )
+    # row counts are identical across runs (deterministic crawl) — take them
+    # from the best run, but make the headline seconds/urls_per_sec the MEDIAN
     return {
         "hosts": n_hosts,
         "instances_per_host": ipp,
         **best,
-        "urls_per_sec": round(best["urls"] / best["seconds"], 1),
+        "seconds": median,
+        "urls_per_sec": round(best["urls"] / median, 1),
+        "best_seconds": best["seconds"],
+        "best_urls_per_sec": round(best["urls"] / best["seconds"], 1),
         "median_seconds": median,
         "runs": [r["seconds"] for r in runs],
     }
@@ -141,9 +155,9 @@ def run_politeness_chain_deep_bench(spark, pages, corpus_path: str) -> dict:
 
 
 def _politeness_crawl(spark, pages, corpus_path: str, seeds, n_runs: int = 2) -> dict:
-    """Best of ``n_runs`` measured crawls (same protocol rationale as the
-    frontier bench: single measured runs on this noisy VM read as phantom
-    regressions); all run times disclosed in ``runs``."""
+    """Median of ``n_runs`` measured crawls as the headline (protocol v3;
+    best disclosed as best_seconds — single measured runs on this noisy VM
+    read as phantom regressions); all run times disclosed in ``runs``."""
     from pyspark.sql import functions as F
 
     from upton_spark.crawler import Crawler
@@ -165,13 +179,18 @@ def _politeness_crawl(spark, pages, corpus_path: str, seeds, n_runs: int = 2) ->
         )
         n_rounds = sum(r["r"] + 1 for r in rounds)
         runs.append((round(time.time() - t0, 2), n_rounds, row["n"]))
-    dt, n_rounds, n_rows = min(runs)
+    best_dt, n_rounds, n_rows = min(runs)
+    secs = sorted(r[0] for r in runs)
+    median = secs[len(secs) // 2] if len(secs) % 2 else round(
+        (secs[len(secs) // 2 - 1] + secs[len(secs) // 2]) / 2, 2
+    )
     return {
         "hosts": len(seeds),
         "rounds": n_rounds,
         "extracted_rows": n_rows,
-        "seconds": dt,
-        "rounds_per_sec": round(n_rounds / dt, 2),
+        "seconds": median,
+        "best_seconds": best_dt,
+        "rounds_per_sec": round(n_rounds / median, 2),
         "runs": [r[0] for r in runs],
     }
 
@@ -275,6 +294,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                "protocol": PROTOCOL,
                 "frontier": frontier_stats,
                 "politeness_rounds": politeness_stats,
                 "politeness_rounds_deep": politeness_deep,

@@ -422,11 +422,20 @@ class Crawler:
         corpus evicts (unpersists) the old map."""
         if self.pages_path is None or not self._pages_is_raw_scan():
             return None
-        key = (id(self.spark), self.pages_path, tuple(sorted(self.pages.inputFiles())))
+        # applicationId is stable for a session's lifetime and never reused,
+        # unlike id(self.spark) which CPython can recycle after a stopped
+        # session is GC'd (resurrecting a DataFrame bound to a dead session)
+        app_id = self.spark.sparkContext.applicationId
+        key = (app_id, self.pages_path, tuple(sorted(self.pages.inputFiles())))
         cached = _URL_FILE_MAP_CACHE.get(key)
         if cached is not None or not build:
             return cached
         for k, old in list(_URL_FILE_MAP_CACHE.items()):
+            if k[0] != app_id:
+                # never unpersist a map owned by another live session;
+                # stopped sessions free their cache blocks on their own
+                del _URL_FILE_MAP_CACHE[k]
+                continue
             try:
                 old.unpersist()
             except Exception:
@@ -1181,8 +1190,11 @@ class Crawler:
         (instance_index) unless a ``url_priorities`` table overrides it."""
         if self.url_priorities is None:
             return df.withColumn("priority", F.col("instance_index"))
-        pr = self.url_priorities.select(
-            "url", F.col("priority").cast("long").alias("_prio")
+        # min-per-url first: a user table with duplicate urls must not fan
+        # out frontier rows through the join (the strongest — lowest —
+        # priority wins, deterministically)
+        pr = self.url_priorities.groupBy("url").agg(
+            F.min(F.col("priority").cast("long")).alias("_prio")
         )
         return (
             df.join(pr, "url", "left")

@@ -427,13 +427,17 @@ def frame_sample(
         # stream past ~24.8 days would overflow int32 and wrap/raise)
         @F.pandas_udf(T.LongType())
         def dur(payload: pd.Series) -> pd.Series:
-            return pd.Series(
-                [
-                    mp4_duration_ms(bytes(p)) if p is not None else 0
-                    for p in payload
-                ],
-                dtype="int64",
-            )
+            # per-row parse guard: one corrupt/mislabeled payload must not
+            # abort the whole batch (crawled metadata lies constantly —
+            # same convention as media_meta_check's parse_error rows);
+            # unparseable → duration 0 → the single frame-0 fallback below
+            out = []
+            for p in payload:
+                try:
+                    out.append(mp4_duration_ms(bytes(p)) if p is not None else 0)
+                except Exception:
+                    out.append(0)
+            return pd.Series(out, dtype="int64")
 
         with_duration = media.select(
             "asset_id", payload_col, dur(F.col(payload_col)).alias("duration_ms")

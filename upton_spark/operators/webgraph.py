@@ -187,9 +187,18 @@ def hits(
 
     def _normalized(df: DataFrame, col: str) -> DataFrame:
         m = df.agg((F.sum(col) / F.lit(n)).alias("_m"))
+        # zero-mass guard: on an edgeless graph (or one where all flow is 0)
+        # the mean is 0 and a bare division would turn every score into
+        # NULL/NaN silently — short-circuit to exact zero scores instead
+        # (still a broadcast scalar, no extra driver action)
         return (
             df.crossJoin(F.broadcast(m))
-            .select("node", (F.col(col) / F.col("_m")).alias(col))
+            .select(
+                "node",
+                F.when(F.col("_m") == 0.0, F.lit(0.0))
+                .otherwise(F.col(col) / F.col("_m"))
+                .alias(col),
+            )
             .localCheckpoint()
         )
 
