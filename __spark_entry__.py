@@ -35,8 +35,21 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# (applicationId, sf_dir, name) -> DataFrame: DataFrames are immutable, so
+# reusing one across the ~70 queries of a correctness sweep skips the
+# repeated file-listing + footer schema read per query (the driver runs
+# every query in one session). No .cache() — results and per-query plans
+# are byte-identical to a fresh read.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _docs_with_url(docs: DataFrame) -> DataFrame:
@@ -1485,13 +1498,39 @@ def q_crawl_fixture_headlines(spark, sf_dir):
     ).orderBy("instance_index")
 
 
+def _rotate_by_staleness(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Stalest-evidence-first ordering: the driver correctness artifact is
+    capped (exactly 50 rows in r03/r04 vs 72 registered queries), so dict
+    order decides which queries get fresh driver rows. GREEN_ROUNDS.json
+    (regenerated from the CORRECTNESS_r*.json artifacts by
+    scripts/update_green_rounds.py) records each query's latest green
+    round; entries with NO green row ever run first (base order), then
+    ascending last-green round (base order within a round). With a 50-row
+    cap over ~75 queries every entry gets a green row at least every other
+    round — the union of this round's and last round's artifacts always
+    covers the full registry."""
+    import json
+    import os
+
+    ledger_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "GREEN_ROUNDS.json")
+    try:
+        last_green = json.load(open(ledger_path))["last_green"]
+    except (OSError, KeyError, json.JSONDecodeError):
+        return base
+    base_pos = {name: i for i, name in enumerate(base)}
+    ordered = sorted(
+        base, key=lambda name: (last_green.get(name, -1), base_pos[name])
+    )
+    return {name: base[name] for name in ordered}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # --- gate-priority section: entries with no green driver row yet ---
-        # (CORRECTNESS_r03 covered only the first 50 dict entries; these 16
-        # ran last and were skipped — including the 5 crawl-loop queries
-        # that FAILED in r02. Never-checked and formerly-red first, so a
-        # truncated artifact can only ever lose rows that were green before.)
+    return _rotate_by_staleness({
+        # Base order is historical registration order; the effective order
+        # served to the driver comes from _rotate_by_staleness (never-green
+        # first, then oldest driver evidence first).
         "dup_clusters": q_dup_clusters,
         "semantic_dedup": q_semantic_dedup,
         "crawl_fixture_headlines": q_crawl_fixture_headlines,
@@ -1569,7 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_budget": q_crawl_budget,
-    }
+    })
 
 
 # --------------------------------------------------------------------------
