@@ -207,3 +207,83 @@ def test_semantic_dedup_sub_buckets_are_contained(spark):
     dropped_sub = set(range(N)) - kept_sub
     assert dropped_sub <= dropped_exact
     assert dropped_sub  # the perturbed cluster-mates still collide
+
+
+def _pair_count(assigned, keys) -> int:
+    """Candidate pairs the within-group self-join would produce: sum of
+    c*(c-1)/2 over (pair-key) groups."""
+    rows = assigned.groupBy(*keys).count().collect()
+    return sum(r["count"] * (r["count"] - 1) // 2 for r in rows)
+
+
+def test_semantic_dedup_hot_cell_protection_default_on(spark):
+    """One synthetic hot cell (300 diverse vectors collapsing into a single
+    k-means cell — the Zipf-skew failure mode) plus a cold cell: the
+    default call must keep the candidate pair count bounded where the flat
+    (hot_cell_threshold=None) call explodes quadratically, leave cold-cell
+    pair sets untouched, and its drop set must stay inside the flat drop
+    set (split never invents a duplicate)."""
+    from upton_spark.operators.similarity import (
+        _with_pair_keys,
+        semantic_dedup,
+        with_ivf_cell,
+    )
+
+    def hot_vec(i: int) -> list[float]:
+        # strong shared axis (pins the cell assignment to centroid e0) +
+        # large per-id sign pattern (keeps hyperplane signatures diverse,
+        # so the sub-split actually spreads the cell)
+        v = np.zeros(DIM)
+        v[0] = 3.0
+        for d in range(1, DIM):
+            v[d] = 0.8 if (i >> (d - 1)) & 1 else -0.8
+        return [float(x) for x in v]
+
+    def cold_vec(i: int) -> list[float]:
+        v = np.zeros(DIM)
+        v[8] = 1.0
+        v[9] = 0.2 + 0.001 * i
+        return [float(x) for x in v]
+
+    n_hot, n_cold, bound = 300, 30, 50
+    rows = [(i, hot_vec(i)) for i in range(n_hot)] + [
+        (n_hot + i, cold_vec(i)) for i in range(n_cold)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # hand-made centroids: hot family (cos ~0.70 with e0 vs <=0.19 with e8)
+    # and cold family are forced into exactly one cell each — the test is
+    # about the hot-CELL pair join, not about how k-means happens to split
+    cent = np.zeros((2, DIM))
+    cent[0, 0] = 1.0
+    cent[1, 8] = 1.0
+
+    assigned = with_ivf_cell(df, cent).select("vec_id", "embedding", "ivf_cell")
+    cells = {r["ivf_cell"]: r["count"] for r in assigned.groupBy("ivf_cell").count().collect()}
+    assert max(cells.values()) == n_hot  # the skew actually happened
+
+    flat, flat_keys = _with_pair_keys(assigned, cent, "embedding", 0, None)
+    prot, prot_keys = _with_pair_keys(assigned, cent, "embedding", 0, bound)
+    flat_pairs = _pair_count(flat, flat_keys)
+    prot_pairs = _pair_count(prot, prot_keys)
+    assert flat_pairs > 40_000  # quadratic blow-up without protection
+    # 300 rows / threshold 50 -> 3 signature bits -> 8 sub-buckets; allow 3x
+    # slack over the uniform expectation (300^2/2/8 + cold pairs ~ 6k)
+    assert prot_pairs < 18_000
+
+    # cold cell untouched: its rows all land in _sub = 0 (one group)
+    cold_cell = min(cells, key=cells.get)
+    cold_groups = (
+        prot.filter(F.col("ivf_cell") == cold_cell).select(*prot_keys).distinct().count()
+    )
+    assert cold_groups == 1
+
+    kept_flat = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cent, threshold=0.9, hot_cell_threshold=None).collect()
+    }
+    kept_prot = {
+        r["vec_id"]
+        for r in semantic_dedup(df, cent, threshold=0.9, hot_cell_threshold=bound).collect()
+    }
+    all_ids = {r[0] for r in rows}
+    assert (all_ids - kept_prot) <= (all_ids - kept_flat)

@@ -254,6 +254,66 @@ def lsh_topk(
     )
 
 
+def _with_pair_keys(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    sub_planes: int,
+    hot_cell_threshold: int | None,
+    max_sub_planes: int = 16,
+) -> tuple[DataFrame, list[str]]:
+    """The candidate-pair keying half of :func:`semantic_dedup`, factored
+    out so tests can count candidate pairs (sum over groups of c*(c-1)/2)
+    without running the join itself.
+
+    ``sub_planes > 0`` splits EVERY cell by an lsh signature (the original
+    opt-in trade). Otherwise, when ``hot_cell_threshold`` is set (the
+    default), one O(n_centroids)-row groupBy probe finds cells whose count
+    exceeds the threshold and ONLY those are split — each hot cell by just
+    enough signature bits (ceil(log2(count/threshold)), capped) to bring
+    its expected sub-bucket size back under the threshold. Cold cells keep
+    ``_sub = 0``, so their pair sets — and recall — are bit-identical to
+    the unprotected operator."""
+    pair_keys = ["ivf_cell"]
+    if sub_planes > 0:
+        assigned = with_lsh_bucket(
+            assigned, dim=len(centroids[0]), n_planes=sub_planes, vec_col=vec_col
+        ).withColumnRenamed("lsh_bucket", "_sub")
+        return assigned, pair_keys + ["_sub"]
+    if hot_cell_threshold is None:
+        return assigned, pair_keys
+    counts = assigned.groupBy("ivf_cell").count().collect()  # O(k cells)
+    hot = {
+        int(r["ivf_cell"]): min(
+            max_sub_planes,
+            int(np.ceil(np.log2(r["count"] / hot_cell_threshold))),
+        )
+        for r in counts
+        if r["count"] > hot_cell_threshold
+    }
+    if not hot:
+        return assigned, pair_keys
+    # full-width signature once per row, then mask to each hot cell's bit
+    # budget via a broadcast (cell -> mask) join; cold cells keep _sub = 0
+    masks = [(c, (1 << p) - 1) for c, p in sorted(hot.items())]
+    spark = assigned.sparkSession
+    mask_df = spark.createDataFrame(masks, "ivf_cell int, _mask int")
+    assigned = (
+        with_lsh_bucket(
+            assigned, dim=len(centroids[0]), n_planes=max_sub_planes, vec_col=vec_col
+        )
+        .join(F.broadcast(mask_df), "ivf_cell", "left")
+        .withColumn(
+            "_sub",
+            F.coalesce(
+                F.col("lsh_bucket").bitwiseAND(F.col("_mask")), F.lit(0)
+            ),
+        )
+        .drop("lsh_bucket", "_mask")
+    )
+    return assigned, pair_keys + ["_sub"]
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     centroids: np.ndarray,
@@ -261,6 +321,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sub_planes: int = 0,
+    hot_cell_threshold: int | None = 65_536,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster embeddings with the k-means coarse quantizer, compute pairwise
@@ -278,22 +339,24 @@ def semantic_dedup(
     100-TB shape: the only shuffle is the cluster-key exchange; pair work is
     proportional to cluster density, never all-pairs. The quantizer trains
     on a bounded sample (train_ivf_centroids); assignment is one Arrow-batch
-    matmul per partition. When the corpus has HOT cells (a k-means cell
-    can collect a constant fraction of a skewed corpus, making O(cell²)
-    explode), ``sub_planes > 0`` splits every cell by a quantized-
-    hyperplane signature and pairs only within (cell, sub-bucket) — a
-    recall-for-cost trade (near-dups almost always share the signature;
-    cross-bucket pairs are missed), found ⊆ the exact-cell result by
-    construction."""
+    matmul per partition. Hot-cell protection is ON BY DEFAULT: on a
+    Zipf-skewed corpus a single k-means cell can collect a constant
+    fraction of all embeddings and its within-cell pair join explodes
+    quadratically, so a one-probe groupBy finds cells past
+    ``hot_cell_threshold`` rows and splits ONLY those by a quantized-
+    hyperplane signature (just enough bits to bound the expected sub-bucket
+    size), pairing within (cell, sub-bucket). Cold cells are untouched —
+    recall there is identical to the flat operator; on hot cells it is the
+    usual LSH recall-for-cost trade (near-dups almost always share the
+    signature), found ⊆ the exact-cell result by construction.
+    ``sub_planes > 0`` instead splits every cell (the original opt-in
+    trade); ``hot_cell_threshold=None`` disables protection entirely."""
     assigned = with_ivf_cell(embeddings, centroids, vec_col).select(
         id_col, vec_col, "ivf_cell"
     )
-    pair_keys = ["ivf_cell"]
-    if sub_planes > 0:
-        assigned = with_lsh_bucket(
-            assigned, dim=len(centroids[0]), n_planes=sub_planes, vec_col=vec_col
-        ).withColumnRenamed("lsh_bucket", "_sub")
-        pair_keys.append("_sub")
+    assigned, pair_keys = _with_pair_keys(
+        assigned, centroids, vec_col, sub_planes, hot_cell_threshold
+    )
     # hoist each row's norm out of the pair join: the SAME _norm expression
     # evaluated once per row instead of once per pair — operand doubles are
     # bit-identical, so cosine (dot / (na * nb)) is unchanged while the
