@@ -1144,11 +1144,46 @@ def q_link_hits(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-def _hits_oracle(iters: int = 5, fanout: int = 3) -> str:
-    """HITS unrolled as chained CTEs — same graph, same update order
-    (authority from hubs, hub from the NEW authorities), same mean-1.0
-    normalization; only summation order differs (~1e-15, absorbed by
-    round 6)."""
+def q_hits_planned_admission(spark, sf_dir):
+    """HITS as a load-bearing crawl-planning input (VERDICT r4 #6): the
+    link_hits scores feed authority_priorities, and the admission schedule
+    is the Crawler's closed-form round assignment under those priorities —
+    per-host window ordered by (priority, doc_id), 10 tokens/host/round.
+    The e2e Crawler wiring is pinned by
+    tests/test_planned_crawl.py::test_hits_authority_priority_e2e; this
+    query replays the identical math so the oracle checks HITS → priority →
+    schedule end-to-end."""
+    from upton_spark.operators.webgraph import (
+        authority_priorities,
+        hits,
+        synth_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_link_graph(docs, fanout=3)
+    scores = hits(docs.select("doc_id"), edges, iters=5)
+    prio = authority_priorities(scores, key_col="doc_id").withColumnRenamed(
+        "url", "doc_id"
+    )
+    fr = docs.select(F.col("source").alias("host"), "doc_id").join(prio, "doc_id")
+    w = Window.partitionBy("host").orderBy("priority", "doc_id")
+    return (
+        fr.withColumn(
+            "round_assigned",
+            F.floor((F.row_number().over(w) - 1) / 10).cast("long"),
+        )
+        .select("host", "doc_id", "priority", "round_assigned")
+        .orderBy("host", "doc_id")
+    )
+
+
+def _hits_ctes(iters: int = 5, fanout: int = 3) -> str:
+    """The HITS CTE chain (nodes/edges/h0..a{iters}/h{iters}) shared by the
+    link_hits oracle and the hits_planned_admission oracle — same graph,
+    same update order (authority from hubs, hub from the NEW authorities),
+    same mean-1.0 normalization; each CTE level is referenced at most once
+    per successor (window-function normalization, no scalar subquery
+    fan-out), so DuckDB's inliner stays linear in ``iters``."""
     ks = ",".join(f"({k})" for k in range(fanout))
     sql = f"""
         WITH nodes AS (SELECT doc_id FROM documents),
@@ -1190,13 +1225,44 @@ def _hits_oracle(iters: int = 5, fanout: int = 3) -> str:
                  hub / (SUM(hub) OVER () / (SELECT CAST(n AS DOUBLE) FROM nn)) AS hub
           FROM hr{i}
         )"""
-    sql += f"""
+    return sql
+
+
+def _hits_oracle(iters: int = 5, fanout: int = 3) -> str:
+    """HITS unrolled as chained CTEs (see _hits_ctes); only summation order
+    differs from the engine (~1e-15, absorbed by round 6)."""
+    return (
+        _hits_ctes(iters, fanout)
+        + f"""
         SELECT a.node AS doc_id, round(a.auth, 6) AS authority,
                round(h.hub, 6) AS hub
         FROM a{iters} a JOIN h{iters} h ON a.node = h.node
         ORDER BY doc_id
     """
-    return sql
+    )
+
+
+def _hits_planned_oracle(iters: int = 5, fanout: int = 3, tokens: int = 10) -> str:
+    """hits_planned_admission replay: the shared HITS chain, authority →
+    negated micro-quantized priority (authority_priorities), then the
+    Crawler's closed-form round assignment round = (rank-1) div tokens per
+    host ordered by (priority, doc_id)."""
+    return (
+        _hits_ctes(iters, fanout)
+        + f""",
+        pr AS (
+          SELECT d.source AS host, d.doc_id,
+                 CAST(-round(a.auth * 1000000) AS BIGINT) AS priority
+          FROM documents d JOIN a{iters} a ON a.node = d.doc_id
+        )
+        SELECT host, doc_id, priority,
+               CAST(floor((row_number() OVER (
+                     PARTITION BY host ORDER BY priority, doc_id) - 1)
+                    / {tokens}) AS BIGINT) AS round_assigned
+        FROM pr
+        ORDER BY host, doc_id
+    """
+    )
 
 
 def q_url_canonicalize(spark, sf_dir):
@@ -1605,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # web-graph / crawl planning
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,  # new in r4 (HITS hubs/authorities)
+        "hits_planned_admission": q_hits_planned_admission,  # new in r5
         "url_canonicalize": q_url_canonicalize,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_budget": q_crawl_budget,
@@ -2033,6 +2100,7 @@ def _webgraph_oracles() -> dict[str, str]:
     out = dict(_WEBGRAPH_ORACLES)
     out["link_pagerank"] = _pagerank_oracle()
     out["link_hits"] = _hits_oracle()
+    out["hits_planned_admission"] = _hits_planned_oracle()
     return out
 
 

@@ -230,6 +230,51 @@ def test_pagerank_priority_and_budget_e2e(spark):
     assert len(per_round) >= 6  # 6 instances/host at 1 token -> >=6 rounds
 
 
+def test_hits_authority_priority_e2e(spark):
+    """HITS wired into planned crawls the way PageRank already is (VERDICT
+    r4 #6): authority scores from the link graph → authority_priorities →
+    Crawler(url_priorities=...), lineage proving the top-authority instance
+    page on every host is fetched in that host's first instance round."""
+    from upton_spark.operators.webgraph import authority_priorities, hits
+    from upton_spark.sources.corpus import synth_pages, synth_seeds
+
+    pages = synth_pages(spark, n_hosts=3, instances_per_host=6, page_size=50).cache()
+    seeds = synth_seeds(3, 6, sleep_time=30.0)  # 1 token/host/round
+
+    # same deterministic graph as the pagerank e2e: url i is linked by all
+    # earlier urls on its host -> the lexicographically-last instance has
+    # the most in-links -> the highest authority (in-flow of hub scores)
+    inst = pages.filter(~F.col("url").endswith("index.html")).select("url")
+    inst = inst.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    edges = (
+        inst.alias("a")
+        .join(inst.alias("b"), F.col("a.host") == F.col("b.host"))
+        .filter(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("src"), F.col("b.url").alias("dst"))
+    )
+    nodes = inst.select(F.col("url").alias("doc_id"))
+    scores = hits(nodes, edges, iters=3)
+    prio = authority_priorities(scores, key_col="doc_id")
+
+    result = Crawler(
+        spark, pages, seeds, round_budget_s=30.0, url_priorities=prio
+    ).crawl()
+
+    fr = {r["url"]: r["first_round"] for r in result.urls_seen.collect()}
+    inst_rows = [u for u in fr if not u.endswith("index.html")]
+    by_host = {}
+    for u in inst_rows:
+        by_host.setdefault(u.rsplit("/", 1)[0], []).append(u)
+    for host, urls in by_host.items():
+        top = max(urls)  # most in-links -> top authority
+        host_first = min(fr[u] for u in urls)
+        assert fr[top] == host_first, (host, top, fr)
+    # 1 token/host/round and 6 instances -> the priority actually spread
+    # fetches across >=6 instance rounds (not one bulk round)
+    inst_lineage = result.lineage.filter("phase = 'instance'").collect()
+    assert len({r["round"] for r in inst_lineage}) >= 6
+
+
 def test_planned_crawl_kill_and_resume_identical(spark, pages, tmp_path):
     """Planning inputs survive kill/resume: a prioritized, budget-capped
     crawl killed mid-rounds resumes to the identical extraction, seen-set

@@ -248,6 +248,23 @@ def pagerank_priorities(
     )
 
 
+def authority_priorities(
+    scores: DataFrame, key_col: str = "url", score_col: str = "authority"
+) -> DataFrame:
+    """HITS scores → the Crawler's ``url_priorities`` table, the authority
+    twin of :func:`pagerank_priorities` (same negated micro-quantized,
+    no-global-sort shape). Feed it ``hits()`` output keyed by url and a
+    planned crawl fetches high-authority content pages first — the natural
+    ranking for the reference's index-page → instance-page model, where
+    hubs are the index pages the crawl already walks and authorities are
+    the instance pages worth budget. Ties at the same quantized score keep
+    the frontier's deterministic (seed_id, instance_index) tie-break."""
+    return scores.select(
+        F.col(key_col).alias("url"),
+        (-F.round(F.col(score_col) * 1e6)).cast("long").alias("priority"),
+    )
+
+
 # --------------------------------------------------------------------------
 # re-crawl snapshot diff
 # --------------------------------------------------------------------------
