@@ -170,6 +170,7 @@ class Crawler:
         host_budgets: DataFrame | None = None,
         blocklist_hosts: DataFrame | None = None,
         blocklist_url_patterns: list[str] | None = None,
+        fetch_fn: Callable[[str], bytes | str | None] | None = None,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -246,6 +247,25 @@ class Crawler:
         self.host_budgets = host_budgets
         self.blocklist_hosts = blocklist_hosts
         self.blocklist_url_patterns = list(blocklist_url_patterns or [])
+        # ``fetch_fn``: the LIVE-FETCH transport seam (SURVEY §2.1's
+        # download_from_resource!, downloader.rb:50-68). None (default) =
+        # corpus replay: ``pages`` models the web and a "live fetch" is the
+        # body join. With a transport injected, ``pages`` becomes the STASH
+        # (cache hits still read from it) and every row the admission loop
+        # decides to fetch live — exactly the rows that consumed a
+        # politeness token — acquires its body through fetch_fn inside a
+        # mapInPandas stage over the frontier partitions. Contract (matches
+        # downloader.rb:50-68): fetch_fn(url) -> html bytes/str; None or a
+        # raised exception means a fetch error and becomes the reference's
+        # EMPTY_STRING body (''); a transport that wants timeout retries
+        # performs them internally (the engine's bounded-retry rounds stay
+        # driven by the deterministic fetch_failures injection). Must be
+        # picklable (it ships to executors). Deferred rows NEVER reach the
+        # transport — only admitted live decisions do — and the one-shot
+        # closed-form schedules are disqualified (a live transport must
+        # fetch round-by-round under the real politeness pacing, not in one
+        # speculative pass).
+        self.fetch_fn = fetch_fn
         # Scratch dir for per-round state materialization: parquet
         # write+re-read truncates Catalyst lineage each round (the same thing
         # a catalog snapshot commit does). localCheckpoint is NOT used — with
@@ -561,6 +581,37 @@ class Crawler:
                 )
         return matched.unionByName(unmatched)
 
+    def _transport_bodies(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """Live-fetch stage: append an ``html`` binary column by calling the
+        injected transport once per row, Arrow-batched inside mapInPandas —
+        one fetch stage per frontier partition (the frontier is salted-host
+        partitioned, so a partition's rows share few hosts and a real
+        transport can pool connections per host). Rows reach here ONLY
+        after politeness admission charged them a token. Error mapping is
+        the reference's (downloader.rb:50-68): transport None/raise →
+        NULL html → the extraction phase's '' empty body."""
+        fetch_fn = self.fetch_fn
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField("html", T.BinaryType(), True)]
+        )
+
+        def run(batches):
+            for pdf in batches:
+                bodies = []
+                for u in pdf[url_col]:
+                    try:
+                        b = fetch_fn(u)
+                    except Exception:
+                        b = None
+                    if b is not None and not isinstance(b, bytes):
+                        b = str(b).encode("utf-8")
+                    bodies.append(b)
+                pdf = pdf.copy()
+                pdf["html"] = bodies
+                yield pdf
+
+        return df.mapInPandas(run, schema=out_schema)
+
     @staticmethod
     def _collect_decision_counts(
         df: DataFrame, decision_col, extra: dict | None = None
@@ -760,17 +811,38 @@ class Crawler:
         ``html`` when hrefs were projected in-pass (nothing downstream reads
         it then — the write stays slim even for fat index pages)."""
         cand = self._index_page_candidates()
-        pl_index, bcast_pages = self._index_pruned_corpus()
-        if bcast_pages:
-            fetched = cand.join(
-                F.broadcast(pl_index.withColumnRenamed("url", "fetch_url")),
-                "fetch_url",
-                "left",
+        if self.fetch_fn is not None:
+            # live mode: the speculative pass is only reachable for
+            # zero-sleep seeds (sleeping seeds take the sequential loop —
+            # _index_oneshot_eligible is False with a transport), so
+            # fetching the whole candidate universe live is politeness-safe
+            # and bounded by pagination_max_pages per seed (pages past the
+            # chain end return empty and are discarded by chain_valid,
+            # like the reference's stop-on-empty probe fetch)
+            if self.index_cached:
+                seen_keys = seen.select("url_hash").distinct()
+                cand = cand.join(
+                    seen_keys.withColumn("cache_hit", F.lit(True)), "url_hash", "left"
+                ).withColumn("cache_hit", F.coalesce("cache_hit", F.lit(False)))
+            else:
+                cand = cand.withColumn("cache_hit", F.lit(False))
+            fetched = self._transport_bodies(
+                cand.filter(~F.col("cache_hit")), "fetch_url"
+            ).unionByName(
+                self._join_bodies(cand.filter(F.col("cache_hit")), "fetch_url")
             )
-        elif pl_index is not None:
-            fetched = self._join_bodies(cand, "fetch_url", pages_override=pl_index)
         else:
-            fetched = self._join_bodies(cand, "fetch_url")
+            pl_index, bcast_pages = self._index_pruned_corpus()
+            if bcast_pages:
+                fetched = cand.join(
+                    F.broadcast(pl_index.withColumnRenamed("url", "fetch_url")),
+                    "fetch_url",
+                    "left",
+                )
+            elif pl_index is not None:
+                fetched = self._join_bodies(cand, "fetch_url", pages_override=pl_index)
+            else:
+                fetched = self._join_bodies(cand, "fetch_url")
         fetched = fetched.withColumn(
             "body_empty", F.col("html").isNull() | (F.length("html") == 0)
         )
@@ -784,7 +856,9 @@ class Crawler:
                 F.lit(0),
             ),
         ).withColumn("chain_valid", F.col("empties_before") == 0)
-        if self.index_cached:
+        if "cache_hit" in fetched.columns:
+            pass  # live mode tagged cache hits before body acquisition
+        elif self.index_cached:
             seen_keys = seen.select("url_hash").distinct()
             fetched = fetched.join(
                 seen_keys.withColumn("cache_hit", F.lit(True)), "url_hash", "left"
@@ -815,6 +889,8 @@ class Crawler:
         and the sleep budget is uniform (constant tokens per host)."""
         if self.index_sequential or self.catalog is not None or self.index_cached:
             return False
+        if self.fetch_fn is not None:
+            return False  # same live-pacing rule as _oneshot_eligible
         return len({s.sleep_time_between_requests for s in self.seeds}) <= 1
 
     def run_index_phase_oneshot(self, seen: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1114,7 +1190,18 @@ class Crawler:
             # join covers deferred rows too (corpus replay: a join row is not
             # a live fetch — lineage/politeness accounting is decision-based)
             # so admitted and deferred alike read back from one parquet.
-            if bcast_pages:
+            if self.fetch_fn is not None:
+                # live mode: ONLY admitted non-cache-hit rows (the token
+                # consumers) reach the transport; cache hits read the stash;
+                # deferred rows carry a NULL body this round (unread — they
+                # re-enter admission next round)
+                is_live = F.col("admitted") & ~F.col("cache_hit")
+                fused = self._transport_bodies(
+                    cand.filter(is_live), "fetch_url"
+                ).unionByName(
+                    self._join_bodies(cand.filter(~is_live), "fetch_url")
+                )
+            elif bcast_pages:
                 fused = cand.join(
                     F.broadcast(pl_index.withColumnRenamed("url", "fetch_url")),
                     "fetch_url",
@@ -1527,6 +1614,11 @@ class Crawler:
             return False
         if stop_after_round is not None:
             return False
+        # a live transport must fetch round-by-round under the real
+        # politeness pacing — the closed form would issue every round's
+        # fetches in one wall-clock instant
+        if self.fetch_fn is not None:
+            return False
         return len({s.sleep_time_between_requests for s in self.seeds}) <= 1
 
     def _run_fetch_rounds_oneshot(
@@ -1793,8 +1885,20 @@ class Crawler:
         fraction of the corpus, and without pruning the extraction join
         decompresses every page's html anyway. Callers gate it on frontier
         size (the prescan costs a url-column scan; a frontier touching most
-        files falls back inside _pruned_pages)."""
-        joined = self._join_bodies(frontier, "url", prune_files=prune_files)
+        files falls back inside _pruned_pages).
+
+        Live mode (fetch_fn set): status='fetched' rows — exactly the rows
+        the admission loop charged a politeness token — acquire bodies
+        through the transport; cache_hit rows still read the stash, and
+        blocked/failed rows never touch the transport."""
+        if self.fetch_fn is not None:
+            live = frontier.filter(F.col("status") == "fetched")
+            rest = frontier.filter(F.col("status") != "fetched")
+            joined = self._transport_bodies(live, "url").unionByName(
+                self._join_bodies(rest, "url")
+            )
+        else:
+            joined = self._join_bodies(frontier, "url", prune_files=prune_files)
         return joined.withColumn(
             "html",
             F.when(F.col("status").isin("fetched", "cache_hit"), F.col("html")).otherwise(
