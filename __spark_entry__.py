@@ -593,30 +593,28 @@ def q_dsir_weights(spark, sf_dir):
 
 def _synth_media_validate_rows(n: int = 60):
     """Deterministic media assets for the metadata-validation query: real
-    png/gif/jpeg container bytes (vendored codecs / header shells), with
-    every 5th asset's sidecar dimensions LYING and every 7th asset's bytes
-    truncated — pure function of the asset index, so the oracle re-derives
-    the expected verdicts with the same parsers at generation time."""
+    png/gif/jpeg container bytes (vendored codecs — jpeg carries a REAL
+    baseline entropy scan since the r5 jpeg_codec), with every 5th asset's
+    sidecar dimensions LYING and every 7th asset's bytes truncated — pure
+    function of the asset index, so the oracle re-derives the expected
+    verdicts with the same parsers at generation time."""
     import numpy as np
 
     from upton_spark.operators.gif_codec import encode_gif_grey
-    from upton_spark.operators.multimodal import encode_jpeg_stub
+    from upton_spark.operators.jpeg_codec import encode_jpeg_grey
     from upton_spark.operators.png_codec import encode_png
 
     rows = []
     for i in range(n):
         w, h = 8 + (i % 5), 6 + (i % 4)
         fmt = ["png", "gif", "jpeg"][i % 3]
+        grid = ((np.arange(h * w, dtype=np.int64) * (i + 3)) % 256).reshape(h, w)
         if fmt == "png":
-            px = ((np.arange(h * w, dtype=np.int64) * (i + 3)) % 256).astype(
-                "uint8"
-            ).reshape(h, w)
-            payload = encode_png(px)
+            payload = encode_png(grid.astype("uint8"))
         elif fmt == "gif":
-            g = ((np.arange(h * w, dtype=np.int64) * (i + 3)) % 256).reshape(h, w) / 255.0
-            payload = encode_gif_grey(g)
+            payload = encode_gif_grey(grid / 255.0)
         else:
-            payload = encode_jpeg_stub(w, h)
+            payload = encode_jpeg_grey(grid / 255.0, quant=1)
         if i % 7 == 0:
             payload = payload[: max(2, len(payload) // 3)]  # corrupt bytes
         meta_w, meta_h = (w + 2, h) if i % 5 == 0 else (w, h)  # lying sidecar
@@ -663,6 +661,76 @@ def _media_meta_check_oracle() -> str:
         "status FROM (VALUES "
         + ",".join(vals)
         + ") v(asset_id, fmt, meta_width, meta_height, real_width, real_height, status) "
+        "ORDER BY asset_id"
+    )
+
+
+def _synth_media_real_rows(n: int = 45):
+    """Clean (uncorrupted) real container bytes across png/gif/jpeg for the
+    real-decode query — deterministic gradient pixels, so the oracle can
+    replay the exact decode at generation time."""
+    import numpy as np
+
+    from upton_spark.operators.gif_codec import encode_gif_grey
+    from upton_spark.operators.jpeg_codec import encode_jpeg_grey
+    from upton_spark.operators.png_codec import encode_png
+
+    rows = []
+    for i in range(n):
+        w, h = 9 + (i % 6), 7 + (i % 5)
+        fmt = ["png", "gif", "jpeg"][i % 3]
+        grid = ((np.arange(h * w, dtype=np.int64) * (2 * i + 5)) % 256).reshape(h, w)
+        if fmt == "png":
+            payload = encode_png(grid.astype("uint8"))
+        elif fmt == "gif":
+            payload = encode_gif_grey(grid / 255.0)
+        else:
+            payload = encode_jpeg_grey(grid / 255.0, quant=1)
+        rows.append(
+            (i, f"http://media.example.org/{fmt}/real/{i}", payload,
+             ("image", fmt, w, h, None))
+        )
+    return rows
+
+
+def q_media_real_decode(spark, sf_dir):
+    """REAL decode end-to-end (VERDICT r4 #5): png/gif/baseline-jpeg bytes
+    with actual entropy-coded scans flow through decode_and_featurize
+    (decoder='real' — vendored pure-stdlib codecs, jpeg Huffman+IDCT
+    included) and the per-asset intensity stats are pinned in integer
+    micro-units. Oracle: the identical pure-Python decode replayed at
+    generation time, baked as VALUES."""
+    from upton_spark.operators.multimodal import MEDIA, decode_and_featurize
+
+    media = spark.createDataFrame(_synth_media_real_rows(), schema=MEDIA)
+    feats = decode_and_featurize(media, resize_to=(8, 8), decoder="real")
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.round(F.col("mean_intensity") * 1e6).cast("long").alias("mean_micro"),
+        F.round(F.col("std_intensity") * 1e6).cast("long").alias("std_micro"),
+    ).orderBy("asset_id")
+
+
+def _media_real_decode_oracle() -> str:
+    """Baked-verdict oracle for q_media_real_decode: run the SAME decoders
+    over the deterministic assets at generation time (bit-identical numpy
+    arithmetic, so micro-unit quantization is exact)."""
+    import numpy as np
+
+    from upton_spark.operators.multimodal import _real_decode
+
+    vals = []
+    for (aid, _url, payload, (_mt, fmt, _w, _h, _d)) in _synth_media_real_rows():
+        grid = _real_decode(bytes(payload), fmt, (8, 8))
+        flat = grid.reshape(-1)
+        mean_micro = int(np.floor(float(flat.mean()) * 1e6 + 0.5))
+        std_micro = int(np.floor(float(flat.std()) * 1e6 + 0.5))
+        vals.append(f"({aid},{len(bytes(payload))},{mean_micro},{std_micro})")
+    return (
+        "SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(n_bytes AS BIGINT) AS n_bytes, "
+        "CAST(mean_micro AS BIGINT) AS mean_micro, CAST(std_micro AS BIGINT) AS std_micro "
+        "FROM (VALUES " + ",".join(vals) + ") v(asset_id, n_bytes, mean_micro, std_micro) "
         "ORDER BY asset_id"
     )
 
@@ -1618,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": q_lm_perplexity,  # new in r4 (CCNet LM quality score)
         "cdc_chunks": q_cdc_chunks,  # new in r4 (content-defined chunking)
         "media_meta_check": q_media_meta_check,  # new in r4 (container-header validation)
+        "media_real_decode": q_media_real_decode,  # new in r5 (real jpeg/png/gif decode)
         # crawl/url family
         "url_md5": q_url_md5,
         "slug": q_slug,
@@ -2617,6 +2686,7 @@ def oracle_sql() -> dict[str, str]:
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
         **({"lm_perplexity": lmppl} if lmppl is not None else {}),
         "media_meta_check": _media_meta_check_oracle(),
+        "media_real_decode": _media_real_decode_oracle(),
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """

@@ -491,9 +491,11 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
     with _pytest.raises(ValueError):
         jpeg_dimensions(encode_jpeg_stub(9, 9)[:6])  # truncated before SOF
 
+    from upton_spark.operators.jpeg_codec import encode_jpeg_grey
+
     png = encode_png(np.zeros((6, 8), dtype=np.uint8))
     gif = encode_gif_grey(np.zeros((5, 7)))
-    jpg = encode_jpeg_stub(10, 4)
+    jpg = encode_jpeg_grey(np.zeros((4, 10)), quant=1)  # real entropy scan
     rows = [
         (0, "u0", png, ("image", "png", 8, 6, None)),       # ok
         (1, "u1", gif, ("image", "gif", 7, 99, None)),      # lying height
@@ -501,6 +503,12 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
         (3, "u3", jpg[:5], ("image", "jpeg", 10, 4, None)), # corrupt
         (4, "u4", b"RIFF....", ("audio", "wav", None, None, 900)),  # skipped
         (5, "u5", png, ("image", "png", None, None, None)),  # no sidecar dims -> ok
+        # header intact, scan cut: the r5 full-decode validation catches
+        # what the SOF header walk could not
+        (6, "u6", jpg[:-6], ("image", "jpeg", 10, 4, None)),
+        # header shell with NO scan at all (the r4 stub shape) is also
+        # parse_error now — an undecodable image is not a valid asset
+        (7, "u7", encode_jpeg_stub(10, 4), ("image", "jpeg", 10, 4, None)),
     ]
     media = spark.createDataFrame(rows, schema=MEDIA)
     out = {r["asset_id"]: r for r in media_meta_check(media).collect()}
@@ -510,3 +518,5 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
     assert out[3]["status"] == "parse_error" and out[3]["real_width"] is None
     assert out[4]["status"] == "skipped"
     assert out[5]["status"] == "ok"  # nothing to contradict
+    assert out[6]["status"] == "parse_error"
+    assert out[7]["status"] == "parse_error"

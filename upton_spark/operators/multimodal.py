@@ -3,10 +3,11 @@
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct, exactly like ``pages.html``. The Spark-side plumbing —
 schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning — is
-real and tested; the actual codec work is STUBBED behind
-``decoder_available()`` because no image/audio libraries ship in this
-container: with a decoder installed the deterministic fake in
-``_fake_decode`` is replaced by the real one and nothing else changes.
+real and tested. Codec depth: PNG, GIF, baseline JPEG, and WAV decode for
+REAL (vendored pure-stdlib codecs / the stdlib wave module); mp4 FRAME
+decode stays honestly stubbed behind ``decoder_available()`` (no video
+codec ships in this container) — with one installed, the deterministic
+fake in ``_fake_decode`` is replaced and nothing else changes.
 
 Batch-shape contract: one input row per asset; decode/feature stages stream
 ``pd.DataFrame`` batches (never materialize a partition), so a 100 TB media
@@ -43,11 +44,12 @@ MEDIA = T.StructType(
 
 
 def decoder_available(fmt: str = "png") -> bool:
-    """True when a real decoder exists for ``fmt``: PNG and GIF always (the
-    vendored pure-stdlib codecs in operators.png_codec / gif_codec), WAV
-    always (the stdlib ``wave`` module), anything else only when an image
-    library is importable (this container ships none)."""
-    if (fmt or "").lower() in ("png", "gif", "wav"):
+    """True when a real decoder exists for ``fmt``: PNG, GIF, and baseline
+    JPEG always (the vendored pure-stdlib codecs in operators.png_codec /
+    gif_codec / jpeg_codec), WAV always (the stdlib ``wave`` module),
+    anything else only when an image library is importable (this container
+    ships none)."""
+    if (fmt or "").lower() in ("png", "gif", "jpeg", "wav"):
         return True
     try:  # pragma: no cover - environment-dependent
         import PIL.Image  # noqa: F401
@@ -101,6 +103,10 @@ def _real_decode(payload: bytes, fmt: str, out_hw: tuple[int, int]) -> np.ndarra
         from upton_spark.operators.gif_codec import decode_gif_grey
 
         grid = decode_gif_grey(payload)
+    elif fmt == "jpeg":
+        from upton_spark.operators.jpeg_codec import decode_jpeg_grey
+
+        grid = decode_jpeg_grey(payload)
     else:
         raise NotImplementedError(f"no decoder for format {fmt!r} in this container")
     h, w = out_hw
@@ -281,8 +287,8 @@ def encode_mp4_stub(duration_ms: int) -> bytes:
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """(width, height) from real JPEG bytes — JFIF/ISO 10918 marker walk to
     the first SOF0-SOF15 frame header (skipping the non-SOF markers in that
-    numeric range: DHT/JPG/DAC). Entropy decode (Huffman+DCT) stays
-    honestly stubbed; header parsing is what corpus hygiene needs."""
+    numeric range: DHT/JPG/DAC). The cheap header-only probe; full entropy
+    decode lives in operators.jpeg_codec (media_meta_check uses that)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI marker)")
     pos = 2
@@ -345,7 +351,11 @@ def container_dimensions(payload: bytes, fmt: str) -> tuple[int, int]:
         arr = decode_gif(payload)
         return int(arr.shape[1]), int(arr.shape[0])
     if fmt == "jpeg":
-        return jpeg_dimensions(payload)
+        from upton_spark.operators.jpeg_codec import jpeg_decoded_dimensions
+
+        # full baseline decode (like png/gif): a truncated or corrupt scan
+        # must surface as parse_error, not pass on an intact SOF header
+        return jpeg_decoded_dimensions(payload)
     raise NotImplementedError(f"no dimension parser for format {fmt!r}")
 
 
@@ -356,10 +366,10 @@ def media_meta_check(media: DataFrame, payload_col: str = "payload") -> DataFram
     lies constantly (mislabeled formats, stripped or stale dimensions).
     Returns (asset_id, fmt, meta_width, meta_height, real_width,
     real_height, status) with status in parse_error | mismatch | ok;
-    non-image formats pass through as 'skipped'. Validation depth: png and
-    gif are FULL decodes (a truncated pixel stream is parse_error), jpeg
-    is header-only (SOF dimensions; no entropy decoder in this container,
-    so a corrupt scan section after a valid header is NOT caught).
+    non-image formats pass through as 'skipped'. Validation depth: png,
+    gif, AND baseline jpeg are FULL decodes (a truncated or corrupt scan
+    is parse_error — the vendored jpeg_codec entropy-decodes the stream,
+    so dimensions are pixel-grid truth, not an SOF header claim).
     Arrow-batched mapInPandas — constant memory per task, the MEDIA
     batch-shape contract."""
     cols = media.select(
