@@ -520,3 +520,41 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
     assert out[5]["status"] == "ok"  # nothing to contradict
     assert out[6]["status"] == "parse_error"
     assert out[7]["status"] == "parse_error"
+
+
+def test_mp4_sample_table_and_frame_schedule(spark):
+    """VERDICT-r4 #8: frame sampling schedules from the REAL stts/stsz
+    sample tables, not a uniform split of mvhd duration — a synthetic moov
+    with a non-uniform stts (short samples around one long still) yields
+    target instants whose covering sample_index is non-uniform, exactly
+    per the hand-computed table; corrupt payloads yield the sentinel row
+    instead of aborting the batch."""
+    from upton_spark.operators.multimodal import (
+        MEDIA,
+        encode_mp4_with_samples,
+        frame_sample_from_table,
+        mp4_sample_table,
+    )
+
+    deltas = [500, 500, 2000, 100, 100, 100, 700]
+    payload = encode_mp4_with_samples(deltas, sample_sizes=[10, 20, 30, 40, 50, 60, 70])
+    table = mp4_sample_table(payload)
+    assert [s for s, _ in table] == [0, 500, 1000, 3000, 3100, 3200, 3300]
+    assert [sz for _, sz in table] == [10, 20, 30, 40, 50, 60, 70]
+
+    rows = [
+        (0, "u0", payload, ("video", "mp4", 64, 48, 4000)),
+        (1, "u1", payload[:30], ("video", "mp4", 64, 48, 4000)),  # corrupt
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA)
+    out = frame_sample_from_table(media, every_ms=1000).collect()
+    got = sorted(
+        (r["frame_ms"], r["sample_index"], r["sample_ms"])
+        for r in out
+        if r["asset_id"] == 0
+    )
+    # duration = 3300 + last gap 100 = 3400 -> targets 0/1000/2000/3000;
+    # at 2000 the long still sample (index 2, started at 1000) is current
+    assert got == [(0, 0, 0), (1000, 2, 1000), (2000, 2, 1000), (3000, 3, 3000)]
+    sentinel = [r for r in out if r["asset_id"] == 1]
+    assert len(sentinel) == 1 and sentinel[0]["sample_index"] == -1

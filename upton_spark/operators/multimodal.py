@@ -224,6 +224,34 @@ def decode_and_featurize(
     return media.select(*cols).mapInPandas(run, schema=schema)
 
 
+def _mp4_walk(data: bytes, start: int, end: int):
+    """Generic ISO-BMFF box iterator over one container scope."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack(">I", data[pos : pos + 4])[0]
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("truncated MP4 box")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
+    """First box at a nested path (e.g. [b'trak', b'mdia', b'stbl'])."""
+    if not path:
+        return start, end
+    for btype, bstart, bend in _mp4_walk(data, start, end):
+        if btype == path[0]:
+            return _mp4_find(data, bstart, bend, path[1:])
+    return None
+
+
 def mp4_duration_ms(payload: bytes) -> int:
     """Real MP4/ISO-BMFF container parsing (public spec, ISO/IEC 14496-12):
     walk the top-level box tree to ``moov``, find ``mvhd``, and return the
@@ -231,21 +259,7 @@ def mp4_duration_ms(payload: bytes) -> int:
     0 or 1 header layout). FRAME DECODE stays honestly stubbed (no video
     codec in this container) — but the frame-sampling schedule no longer
     needs trusted metadata: it derives from the real container bytes."""
-    def walk(data: bytes, start: int, end: int):
-        pos = start
-        while pos + 8 <= end:
-            size = struct.unpack(">I", data[pos : pos + 4])[0]
-            btype = data[pos + 4 : pos + 8]
-            hdr = 8
-            if size == 1:  # 64-bit largesize
-                size = struct.unpack(">Q", data[pos + 8 : pos + 16])[0]
-                hdr = 16
-            elif size == 0:  # box extends to end of enclosing scope
-                size = end - pos
-            if size < hdr or pos + size > end:
-                raise ValueError("truncated MP4 box")
-            yield btype, pos + hdr, pos + size
-            pos += size
+    walk = _mp4_walk
 
     for btype, body_start, body_end in walk(payload, 0, len(payload)):
         if btype != b"moov":
@@ -280,6 +294,115 @@ def encode_mp4_stub(duration_ms: int) -> bytes:
     )
     mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
     moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
+    return ftyp + moov
+
+
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
+    """Per-sample (start_ms, byte_size) from the first track's REAL sample
+    tables (ISO/IEC 14496-12 §8.6.1.2 stts, §8.7.3.2 stsz): run-length
+    time-to-sample deltas cumulated in the mdhd media timescale, converted
+    to ms. This is the truth a frame scheduler should use — per-sample
+    timing is NOT uniform in real video (variable frame rate, edit lists,
+    long still frames), so dividing mvhd duration evenly mis-schedules."""
+    moov = _mp4_find(payload, 0, len(payload), [b"moov"])
+    if moov is None:
+        raise ValueError("no moov box found")
+    mdia = _mp4_find(payload, moov[0], moov[1], [b"trak", b"mdia"])
+    if mdia is None:
+        raise ValueError("no trak/mdia box found")
+    mdhd = _mp4_find(payload, mdia[0], mdia[1], [b"mdhd"])
+    stbl = _mp4_find(payload, mdia[0], mdia[1], [b"minf", b"stbl"])
+    if mdhd is None or stbl is None:
+        raise ValueError("no mdhd/stbl box found")
+    version = payload[mdhd[0]]
+    if version == 1:
+        (timescale,) = struct.unpack(">I", payload[mdhd[0] + 20 : mdhd[0] + 24])
+    else:
+        (timescale,) = struct.unpack(">I", payload[mdhd[0] + 12 : mdhd[0] + 16])
+    if timescale == 0:
+        raise ValueError("mdhd timescale 0")
+    stts = _mp4_find(payload, stbl[0], stbl[1], [b"stts"])
+    if stts is None:
+        raise ValueError("no stts box found")
+    (n_entries,) = struct.unpack(">I", payload[stts[0] + 4 : stts[0] + 8])
+    starts: list[int] = []
+    t = 0
+    pos = stts[0] + 8
+    for _ in range(n_entries):
+        count, delta = struct.unpack(">II", payload[pos : pos + 8])
+        pos += 8
+        if pos > stts[1]:
+            raise ValueError("truncated stts entries")
+        for _ in range(count):
+            starts.append(t * 1000 // timescale)
+            t += delta
+    sizes = [0] * len(starts)
+    stsz = _mp4_find(payload, stbl[0], stbl[1], [b"stsz"])
+    if stsz is not None:
+        uniform, n_samples = struct.unpack(">II", payload[stsz[0] + 4 : stsz[0] + 12])
+        if uniform:
+            sizes = [uniform] * len(starts)
+        else:
+            pos = stsz[0] + 12
+            for i in range(min(n_samples, len(starts))):
+                (sizes[i],) = struct.unpack(">I", payload[pos : pos + 4])
+                pos += 4
+                if pos > stsz[1]:
+                    raise ValueError("truncated stsz entries")
+    return list(zip(starts, sizes))
+
+
+def _full_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_mp4_with_samples(
+    sample_deltas_ms: list[int], timescale: int = 1000, sample_sizes: list[int] | None = None
+) -> bytes:
+    """Valid ISO-BMFF container with a real track sample table — consecutive
+    equal deltas compress into one stts run entry, so a non-uniform delta
+    list produces a genuinely multi-entry stts (the case the scheduler must
+    handle). Durations are in ms; the media timescale defaults to 1000."""
+    deltas = [max(0, int(d) * timescale // 1000) for d in sample_deltas_ms]
+    runs: list[tuple[int, int]] = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = _full_box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    sizes = sample_sizes or [100 + 10 * i for i in range(len(deltas))]
+    stsz = _full_box(
+        b"stsz",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, len(sizes))
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stbl = _full_box(b"stbl", stts + stsz)
+    minf = _full_box(b"minf", stbl)
+    total = sum(deltas)
+    mdhd = _full_box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, total)
+        + b"\x00\x00\x00\x00",
+    )
+    mdia = _full_box(b"mdia", mdhd + minf)
+    trak = _full_box(b"trak", mdia)
+    mvhd_body = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, total)
+        + b"\x00" * 80
+    )
+    moov = _full_box(b"moov", _full_box(b"mvhd", mvhd_body) + trak)
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 512)
     return ftyp + moov
 
@@ -476,6 +599,75 @@ def frame_sample(
         F.xxhash64(
             F.col(payload_col), F.col("frame_ms").cast("long")
         ).alias("frame_key"),
+    )
+
+
+def schedule_from_samples(
+    table: list[tuple[int, int]], every_ms: int
+) -> list[tuple[int, int, int]]:
+    """(start_ms, size) sample table → [(target_ms, sample_index,
+    sample_start_ms)] rows, one per ``every_ms`` instant, each carrying the
+    sample current at that instant. Pure function shared by the Spark UDF
+    and oracle generation. Empty/unparseable table → the single sentinel
+    row (0, -1, 0) so bad assets stay visible instead of vanishing."""
+    import bisect
+
+    if not table:
+        return [(0, -1, 0)]
+    starts = [s for s, _sz in table]
+    # track duration = last start + its delta, approximated with the last
+    # gap (or every_ms for a single-sample track)
+    duration = starts[-1] + (starts[-1] - starts[-2] if len(starts) > 1 else every_ms)
+    rows = []
+    for t in range(0, max(duration, 1), every_ms):
+        i = bisect.bisect_right(starts, t) - 1
+        rows.append((t, i, starts[i]))
+    return rows
+
+
+_FRAME_SCHED = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("frame_ms", T.LongType(), False),
+            T.StructField("sample_index", T.IntegerType(), False),
+            T.StructField("sample_ms", T.LongType(), False),
+        ]
+    )
+)
+
+
+def frame_sample_from_table(
+    media: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling scheduled from the REAL mp4 sample table (stts/stsz
+    box walk — mp4_sample_table), not a uniform split of mvhd duration:
+    one row per ``every_ms`` target instant carrying the sample that is
+    actually current at that instant (variable frame rate and long still
+    samples make uniform schedules wrong). Output: (asset_id, frame_ms
+    [target instant], sample_index, sample_ms [covering sample's true
+    start], frame_key). Per-row parse guard (crawled media lies): an
+    unparseable payload yields the single sentinel row (0, -1, 0) instead
+    of aborting the batch. Arrow-batched; frame DECODE stays stubbed."""
+    @F.pandas_udf(_FRAME_SCHED)
+    def sched(payload: pd.Series) -> pd.Series:
+        out = []
+        for p in payload:
+            try:
+                table = mp4_sample_table(bytes(p)) if p is not None else []
+            except Exception:
+                table = []
+            out.append(schedule_from_samples(table, every_ms))
+        return pd.Series(out)
+
+    frames = media.select(
+        "asset_id", payload_col, F.explode(sched(F.col(payload_col))).alias("f")
+    )
+    return frames.select(
+        "asset_id",
+        F.col("f.frame_ms").alias("frame_ms"),
+        F.col("f.sample_index").alias("sample_index"),
+        F.col("f.sample_ms").alias("sample_ms"),
+        F.xxhash64(F.col(payload_col), F.col("f.frame_ms")).alias("frame_key"),
     )
 
 
