@@ -272,6 +272,45 @@ def test_catalog_contract_shared(spark, tmp_path, monkeypatch):
     assert "upton.frontier" in writes and "upton.urls_seen" in writes
 
 
+def test_iceberg_real_warehouse_smoke(spark, tmp_path):
+    """Real-Iceberg gate (VERDICT r4 #9): the day iceberg-spark-runtime
+    jars appear on the classpath, this exercises IcebergCatalog
+    commit/load/latest/table against a REAL hadoop-type warehouse dir —
+    actual createOrReplace commits, actual read-back through the catalog
+    identifier. Skipped (with the stub-contract risk on record) while the
+    sandbox ships no jar; green wherever one is present."""
+    import pytest as _pytest
+
+    from upton_spark.sources import catalog as catmod
+
+    if not catmod.iceberg_on_classpath(spark):
+        _pytest.skip(
+            "no Iceberg runtime jar on the classpath — IcebergCatalog's "
+            "real writeTo path is contract-tested against a stub only "
+            "(test_catalog_contract_shared); this smoke proves the real "
+            "path wherever jars exist"
+        )
+    # Iceberg catalogs resolve lazily, so a runtime conf is enough
+    spark.conf.set(
+        "spark.sql.catalog.upton_smoke", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    spark.conf.set("spark.sql.catalog.upton_smoke.type", "hadoop")
+    spark.conf.set(
+        "spark.sql.catalog.upton_smoke.warehouse", str(tmp_path / "warehouse")
+    )
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS upton_smoke.crawl")
+    cat = catmod.IcebergCatalog(spark, namespace="upton_smoke.crawl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    s1 = cat.commit(0, {"frontier": df}, metrics={"fetched": 2})
+    assert cat.latest().snapshot_id == s1.snapshot_id
+    got = sorted((r["id"], r["v"]) for r in cat.table(s1, "frontier").collect())
+    assert got == [(1, "a"), (2, "b")]
+    df2 = spark.createDataFrame([(3, "c")], "id int, v string")
+    s2 = cat.commit(1, {"frontier": df2})
+    assert cat.load(s2.snapshot_id).parent == s1.snapshot_id
+    assert [r["id"] for r in cat.table(s2, "frontier").collect()] == [3]
+
+
 def test_streaming_url_dedup_first_capture_wins(spark, tmp_path):
     """Duplicate-url captures inside the watermark horizon collapse to the
     first arrival; distinct urls all pass."""
