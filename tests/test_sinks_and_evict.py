@@ -132,3 +132,28 @@ def test_evict_forces_refetch(spark, pages, tmp_path):
     rows = result.lineage.filter("phase='instance'").collect()
     assert sum(r["fetched"] for r in rows) == 1
     assert sum(r["cache_hits"] for r in rows) == 3
+
+
+def test_scrape_guard_rejects_bulk_collects(spark, pages, monkeypatch):
+    """scrape() mirrors the reference's list-returning API (a driver
+    collect); past SCRAPE_MAX_ROWS it must raise and point at the
+    distributed sinks instead of silently pulling a bulk crawl through the
+    driver."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE
+
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_selector="h1.article-title",
+            extract_kind="text",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    monkeypatch.setattr(Crawler, "SCRAPE_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="scrape_to_csv"):
+        Crawler(spark, pages, seeds).scrape()
+    monkeypatch.setattr(Crawler, "SCRAPE_MAX_ROWS", 100_000)
+    assert len(Crawler(spark, pages, seeds).scrape()) == 4

@@ -2139,11 +2139,29 @@ class Crawler:
         return self.spark.createDataFrame(self._lineage_rows, schema=schemas.LINEAGE)
 
     # ----------------------------------------------------- Upton-shaped APIs
+    # scrape() mirrors the reference's list-returning API and therefore
+    # COLLECTS to the driver — fine at reference scale, catastrophic on a
+    # bulk crawl. The guard raises instead of silently OOM-ing the driver.
+    SCRAPE_MAX_ROWS = 100_000
+
     def scrape(self) -> list:
         """Reference-shaped output: flat list over (instance, pagination
         page) in crawl order; text kind yields strings, list kind lists,
-        table kind the [headers, *rows] nesting (lib/upton.rb:337-345)."""
+        table kind the [headers, *rows] nesting (lib/upton.rb:337-345).
+
+        Driver-side by design (the reference returns a Ruby array,
+        lib/upton.rb:47-51) and guarded by SCRAPE_MAX_ROWS: past the bound
+        it raises, pointing at the distributed sinks (scrape_to_csv, or
+        CrawlResult.extracted for DataFrame composition)."""
         result = self.crawl()
+        probe = result.extracted.limit(self.SCRAPE_MAX_ROWS + 1).count()
+        if probe > self.SCRAPE_MAX_ROWS:
+            raise ValueError(
+                f"scrape() collects extracted rows to the driver and this crawl "
+                f"produced more than SCRAPE_MAX_ROWS={self.SCRAPE_MAX_ROWS}; use "
+                "scrape_to_csv(path, single_file=False) for a distributed sink, "
+                "or work with CrawlResult.extracted directly"
+            )
         rows = result.extracted.orderBy(
             "seed_id", "instance_index", "pagination_index", "match_index"
         ).collect()
