@@ -118,6 +118,9 @@ class KilledCrawl(RuntimeError):
 # keyed by SparkSession identity so a map never outlives its session;
 # single entry — a new corpus unpersists and replaces the previous map.
 _URL_FILE_MAP_CACHE: dict[tuple, DataFrame] = {}
+# per-(session, corpus) count of driver-known-IN prescans, driving the
+# build-on-second-prescan policy in _prune_file_list
+_PRESCAN_COUNTS: dict[tuple, int] = {}
 
 
 def _tokens_col(sleep_col, round_budget_s: float):
@@ -478,7 +481,23 @@ class Crawler:
             return None
         if not self._pages_is_raw_scan():
             return None
-        fmap = self._url_file_map(build=key_urls is None)
+        # map-build policy: the semi-join path always builds (it streams the
+        # url column anyway); the driver-known IN path keeps the cheaper
+        # row-group-pruned scan for a corpus's FIRST prescan, but from the
+        # second prescan on (same session+corpus: the index prescan and the
+        # extraction prescan of one crawl, or repeated crawls) the one-off
+        # scans have already cost more than one map build, so build it and
+        # turn every later prescan into a cached tiny probe
+        build = key_urls is None
+        if not build:
+            mkey = (
+                self.spark.sparkContext.applicationId,
+                self.pages_path,
+                tuple(sorted(self.pages.inputFiles())),
+            )
+            _PRESCAN_COUNTS[mkey] = _PRESCAN_COUNTS.get(mkey, 0) + 1
+            build = _PRESCAN_COUNTS[mkey] >= 2
+        fmap = self._url_file_map(build=build)
         if fmap is not None:
             if key_urls is not None:
                 probe = fmap.filter(F.col("url").isin(key_urls))
@@ -875,6 +894,9 @@ class Crawler:
                 "hrefs",
                 extract_links_udf(F.col("html"), F.col("index_selector"), F.col("seed_url")),
             ).drop("html")
+        # parquet pin, not persist(): measured equal-or-better (the cost is
+        # the UDF evaluation, not the write) and the scratch file backs the
+        # lazy link projection beyond any cache eviction
         return self._materialize(fetched, "index_fetched")
 
     def _index_oneshot_eligible(self) -> bool:
@@ -1708,7 +1730,12 @@ class Crawler:
                 )
             )
         )
-        decisions = self._materialize(decisions, "decisions_oneshot")
+        # persist + counts-collect fuses the oneshot's pin and its lineage
+        # aggregation into ONE job (the loop's parquet write+read round trip
+        # is for unbounded round iteration; the oneshot is a single pass, so
+        # a cached plan never grows). Later consumers (status_map, seen)
+        # read the cached rows.
+        decisions = decisions.persist()
         pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
         rows = (
             decisions.groupBy("decision", "round_assigned", pid.alias("pid"))
@@ -1772,7 +1799,22 @@ class Crawler:
                 ),
             )
         status_map = status_map.dropDuplicates(["url_hash"])
-        frontier = self._materialize(self._merge_status(frontier, status_map), "frontier_round")
+        merged = self._merge_status(frontier, status_map)
+        n_decided = sum(r["count"] for r in rows)
+        if (
+            self.catalog is not None
+            or self.next_instance_page_url_fn is not None
+            or n_decided > 20_000
+        ):
+            # later phases (delta commits, instance-pagination rounds) will
+            # re-read the frontier repeatedly, and bulk frontiers get
+            # re-evaluated by the extraction-prune probes: pin those
+            frontier = self._materialize(merged, "frontier_round")
+        else:
+            # politeness-bounded crawl with nothing re-entering the loop:
+            # the merge is one broadcast join over already-pinned inputs —
+            # leaving it lazy saves a write+read job on every such crawl
+            frontier = merged
 
         if self.instance_cached and n_fetched_total:
             seen = self._mark_seen_assigned(
