@@ -1231,6 +1231,59 @@ def q_robots_from_pages(spark, sf_dir):
     )
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    """Robots→sitemap discovery glue: ``Sitemap:`` directives extracted
+    from per-host robots.txt captures (operators.robots.sitemaps_from_robots
+    — pure codegen regexp over the dedup-latest body, no Python). Bodies
+    are a deterministic function of the source name (two directives, mixed
+    case/indentation, one older superseded capture), so the oracle replays
+    the same multiline regexp in DuckDB."""
+    from pyspark.sql import functions as F2
+
+    from upton_spark.operators.robots import sitemaps_from_robots
+
+    hosts = _t(spark, sf_dir, "documents").select("source").distinct()
+    body_new = F2.concat(
+        F2.lit("User-agent: *\nSitemap: http://"),
+        F2.col("source"),
+        F2.lit("/sitemap.xml\nDisallow: /x\n  sitemap: http://"),
+        F2.col("source"),
+        F2.lit("/news.xml\n"),
+    )
+    body_old = F2.concat(
+        F2.lit("Sitemap: http://"), F2.col("source"), F2.lit("/stale.xml\n")
+    )
+
+    def rows(body, ts):
+        return hosts.select(
+            F2.concat(F2.lit("http://"), F2.col("source"), F2.lit("/robots.txt")).alias("url"),
+            F2.to_timestamp(F2.lit(ts)).alias("warc_ts"),
+            body.cast("binary").alias("html"),
+            F2.lit(None).cast("string").alias("text"),
+            F2.lit(None).cast("string").alias("lang"),
+        )
+
+    pages = rows(body_new, "2024-02-01 00:00:00").unionByName(
+        rows(body_old, "2023-01-01 00:00:00")
+    )
+    return sitemaps_from_robots(pages).orderBy("host", "sitemap_url")
+
+
+_SITEMAP_DISCOVERY_ORACLE = """
+    WITH hosts AS (SELECT DISTINCT source FROM documents),
+    b AS (
+      SELECT source AS host,
+             'User-agent: *' || chr(10) || 'Sitemap: http://' || source ||
+             '/sitemap.xml' || chr(10) || 'Disallow: /x' || chr(10) ||
+             '  sitemap: http://' || source || '/news.xml' || chr(10) AS body
+      FROM hosts
+    )
+    SELECT host, unnest(regexp_extract_all(body,
+             '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^ \\t\\r\\n]+)', 1)) AS sitemap_url
+    FROM b ORDER BY host, sitemap_url
+"""
+
+
 def q_link_pagerank(spark, sf_dir):
     """Link-graph PageRank (frontier prioritization at web scale): a
     deterministic synthetic link graph over documents (quadratic edge map
@@ -1792,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest": q_warc_ingest,
         "robots_from_pages": q_robots_from_pages,
         "sitemap_extract": q_sitemap_extract,
+        "sitemap_discovery": q_sitemap_discovery,  # new in r5 (robots Sitemap: glue)
         # web-graph / crawl planning
         "link_pagerank": q_link_pagerank,
         "link_hits": q_link_hits,  # new in r4 (HITS hubs/authorities)
@@ -2198,6 +2252,7 @@ _WEBGRAPH_ORACLES = {
                CAST(greatest(2, least(50, (n_docs * 600) // tw)) AS BIGINT) AS budget
         FROM h CROSS JOIN t ORDER BY host
     """,
+    "sitemap_discovery": _SITEMAP_DISCOVERY_ORACLE,
     "sitemap_extract": """
         WITH e AS (
           SELECT source,
