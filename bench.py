@@ -228,6 +228,8 @@ HEADLINE_QUERIES = [
     "gopher_quality",
     "lm_perplexity",
     "cdc_chunks",
+    "hits_planned_admission",  # r5: HITS scoring + closed-form admission
+    "media_real_decode",  # r5: real png/gif/jpeg decode throughput
 ]
 
 
