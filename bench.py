@@ -171,12 +171,16 @@ def _politeness_crawl(spark, pages, corpus_path: str, seeds, n_runs: int = 2) ->
         # cover the chain-deep probe's full politeness horizon (~1.4k
         # rounds); the default 64-round cap would truncate it mid-schedule
         result = crawler.crawl(max_fetch_rounds=4096)
-        row = result.extracted.agg(
-            F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
-        ).collect()[0]
-        rounds = (
-            result.lineage.groupBy("phase").agg(F.max("round").alias("r")).collect()
-        )
+        # small-crawl job diet for the result actions too (crawl() applies
+        # it to its internal phases automatically; the extraction aggregate
+        # runs caller-side, so the caller opts in — see Crawler.job_diet)
+        with crawler.job_diet():
+            row = result.extracted.agg(
+                F.count("*").alias("n"), F.sum(F.length("text")).alias("b")
+            ).collect()[0]
+            rounds = (
+                result.lineage.groupBy("phase").agg(F.max("round").alias("r")).collect()
+            )
         n_rounds = sum(r["r"] + 1 for r in rounds)
         runs.append((round(time.time() - t0, 2), n_rounds, row["n"]))
     best_dt, n_rounds, n_rows = min(runs)

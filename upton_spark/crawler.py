@@ -37,6 +37,7 @@ maybe-seen subset. Per-round decision accounting is ONE aggregation job
 from __future__ import annotations
 
 import atexit
+import contextlib
 import os
 import shutil
 import tempfile
@@ -65,6 +66,11 @@ from upton_spark.operators import robots as robots_ops
 from upton_spark.sources.catalog import ManifestCatalog
 
 N_LINEAGE_BUCKETS = 32  # host-hash buckets used as lineage "partitions"
+# small-crawl job-diet bounds (see Crawler.job_diet): a crawl whose seed
+# list and built frontier are both under these is driver-latency-bound, not
+# data-bound, so adaptive re-planning only adds per-stage driver jobs
+JOB_DIET_MAX_SEEDS = 64
+JOB_DIET_MAX_ROWS = 20_000
 
 
 @dataclass
@@ -313,6 +319,7 @@ class Crawler:
         self._bloom_active = False
         self._lineage_rows: list[tuple] = []
         self._seen_count = 0
+        self._frontier_rows: int | None = None  # set by build_frontier
         self.seeds_df = spark.createDataFrame(
             [
                 (
@@ -379,7 +386,38 @@ class Crawler:
         self._scratch_n += 1
         path = os.path.join(self._scratch, f"{self._scratch_n:04d}_{label}")
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        # the writer's schema IS the reader's schema — passing it explicitly
+        # skips the read-back footer/schema-inference job (one driver job per
+        # materialize; the round loop pays this once per round)
+        return self.spark.read.schema(df.schema).parquet(path)
+
+    @contextlib.contextmanager
+    def job_diet(self):
+        """Disable adaptive query execution around a SMALL crawl's actions.
+
+        AQE materializes every query stage as its own driver job (~0.1-0.2s
+        of scheduling each); a politeness-bounded crawl of O(10^2-10^4)
+        frontier rows runs ~40 such jobs for ~1s of actual data work, so the
+        fixed driver cost dominates (measured: 41 -> 23 jobs on the 12-host
+        politeness bench). Results are bit-identical — AQE only re-plans
+        partitioning/join strategy, and every small-side join here carries an
+        explicit broadcast hint. ``crawl()`` applies this automatically while
+        seed count and built-frontier size stay under JOB_DIET_MAX_SEEDS /
+        JOB_DIET_MAX_ROWS; bulk crawls keep AQE (skew-join + partition
+        coalescing are the 100x-scale story). Callers consuming a small
+        crawl's RESULT DataFrames (extraction aggregates) can opt in around
+        their own actions. Session-conf scoped: not safe under concurrent
+        queries on the same SparkSession from other threads."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled", "true")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
+
+    def _maybe_job_diet(self, small: bool):
+        return self.job_diet() if small else contextlib.nullcontext()
 
     def _pages_is_raw_scan(self) -> bool:
         """Contract check for file-level pruning: ``pages`` must be the
@@ -1396,6 +1434,7 @@ class Crawler:
         # bulk of build_frontier's fixed cost on small crawls); a bulk crawl
         # still spreads across every core.
         n_rows = links.count() + len(explicit_rows)
+        self._frontier_rows = n_rows  # drives crawl()'s job-diet decision
         n_parts = max(1, min(self.spark.sparkContext.defaultParallelism, -(-n_rows // 4096)))
         salted = part_ops.salted_repartition(
             hashed,
@@ -2017,12 +2056,21 @@ class Crawler:
             if snap is not None and "urls_seen" in snap.tables:
                 seen = self._catalog_seen(snap)
                 self._seen_count = self._load_bloom_from(seen)
-        links, seen = self.run_index_phase(seen)
-        frontier = self.build_frontier(links)
-        frontier, seen = self.run_fetch_rounds(
-            frontier, seen, max_rounds=max_fetch_rounds, stop_after_round=stop_after_round
-        )
-        frontier = self._instance_pagination(frontier, seen)
+        # small-crawl job diet (see job_diet): a bounded seed list keeps the
+        # index-candidate universe bounded too (<= seeds x pagination_max_
+        # pages), so the diet can start before any counting; the fetch phase
+        # re-checks against the actual built-frontier size, so a small seed
+        # list that fans out wide gets AQE back for the bulk work
+        small = len(self.seeds) <= JOB_DIET_MAX_SEEDS
+        with self._maybe_job_diet(small):
+            links, seen = self.run_index_phase(seen)
+            frontier = self.build_frontier(links)
+        small = small and (self._frontier_rows or 0) <= JOB_DIET_MAX_ROWS
+        with self._maybe_job_diet(small):
+            frontier, seen = self.run_fetch_rounds(
+                frontier, seen, max_rounds=max_fetch_rounds, stop_after_round=stop_after_round
+            )
+            frontier = self._instance_pagination(frontier, seen)
         # project the frontier down to what extraction consumes before it
         # rides the broadcast body join — the driver-side hash relation
         # shrinks ~2x vs broadcasting all frontier columns
