@@ -55,8 +55,37 @@ def test_diet_on_off_results_bit_identical(spark, pages, monkeypatch):
 
 def test_session_conf_restored_after_small_crawl(spark, pages):
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
     Crawler(spark, pages, [_seed()]).crawl()
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_width
+
+
+def test_diet_narrows_shuffle_width_inside_and_restores(spark, pages):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        crawler = Crawler(spark, pages, [_seed()])
+        with crawler.job_diet():
+            assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+                crawler_mod.JOB_DIET_SHUFFLE_WIDTH
+            )
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_diet_never_widens_a_narrow_session(spark, pages):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        crawler = Crawler(spark, pages, [_seed()])
+        with crawler.job_diet():
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
 
 
 def test_session_conf_restored_even_when_crawl_raises(spark, pages):

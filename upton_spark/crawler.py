@@ -71,6 +71,10 @@ N_LINEAGE_BUCKETS = 32  # host-hash buckets used as lineage "partitions"
 # data-bound, so adaptive re-planning only adds per-stage driver jobs
 JOB_DIET_MAX_SEEDS = 64
 JOB_DIET_MAX_ROWS = 20_000
+# dieted shuffle width: wide enough that JOB_DIET_MAX_ROWS rows per
+# partition stay trivially in memory, narrow enough that task launches
+# stop dominating tiny stages
+JOB_DIET_SHUFFLE_WIDTH = 4
 
 
 @dataclass
@@ -399,22 +403,37 @@ class Crawler:
         of scheduling each); a politeness-bounded crawl of O(10^2-10^4)
         frontier rows runs ~40 such jobs for ~1s of actual data work, so the
         fixed driver cost dominates (measured: 41 -> 23 jobs on the 12-host
-        politeness bench). Results are bit-identical — AQE only re-plans
-        partitioning/join strategy, and every small-side join here carries an
-        explicit broadcast hint. ``crawl()`` applies this automatically while
-        seed count and built-frontier size stay under JOB_DIET_MAX_SEEDS /
-        JOB_DIET_MAX_ROWS; bulk crawls keep AQE (skew-join + partition
-        coalescing are the 100x-scale story). Callers consuming a small
-        crawl's RESULT DataFrames (extraction aggregates) can opt in around
-        their own actions. Session-conf scoped: not safe under concurrent
-        queries on the same SparkSession from other threads."""
+        politeness bench). Shuffle width is dieted too: 32 shuffle partitions
+        mean ~32 task launches per tiny stage, pure overhead at O(10^2) rows
+        (one A/B window read 9.6 -> 8.2s at width 4 on the same bench;
+        steady-state repeats sit inside this VM's noise band, so the claim
+        is the removed task launches, not a headline number). Identical
+        rows — no operator here depends on partition count or iteration
+        order, see the module determinism note. Results are bit-identical — AQE only
+        re-plans partitioning/join strategy, and every small-side join here
+        carries an explicit broadcast hint. ``crawl()`` applies this
+        automatically while seed count and built-frontier size stay under
+        JOB_DIET_MAX_SEEDS / JOB_DIET_MAX_ROWS; bulk crawls keep AQE
+        (skew-join + partition coalescing are the 100x-scale story) and the
+        session's shuffle width. Callers consuming a small crawl's RESULT
+        DataFrames (extraction aggregates) can opt in around their own
+        actions. Session-conf scoped: not safe under concurrent queries on
+        the same SparkSession from other threads."""
         conf = self.spark.conf
         prev = conf.get("spark.sql.adaptive.enabled", "true")
+        prev_width = conf.get("spark.sql.shuffle.partitions", "200")
         conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            width = int(prev_width)
+        except ValueError:  # "auto" (Spark 4 allows it) — leave untouched
+            width = None
+        if width is not None and width > JOB_DIET_SHUFFLE_WIDTH:
+            conf.set("spark.sql.shuffle.partitions", str(JOB_DIET_SHUFFLE_WIDTH))
         try:
             yield
         finally:
             conf.set("spark.sql.adaptive.enabled", prev)
+            conf.set("spark.sql.shuffle.partitions", prev_width)
 
     def _maybe_job_diet(self, small: bool):
         return self.job_diet() if small else contextlib.nullcontext()
