@@ -1272,7 +1272,10 @@ def q_sitemap_discovery(spark, sf_dir):
 _SITEMAP_DISCOVERY_ORACLE = """
     WITH hosts AS (SELECT DISTINCT source FROM documents),
     b AS (
-      SELECT source AS host,
+      -- lower(source): the engine canonicalizes host to lowercase
+      -- (robots.sitemaps_from_robots); the BODY keeps source verbatim,
+      -- exactly like the Spark-side synthesized robots.txt
+      SELECT lower(source) AS host,
              'User-agent: *' || chr(10) || 'Sitemap: http://' || source ||
              '/sitemap.xml' || chr(10) || 'Disallow: /x' || chr(10) ||
              '  sitemap: http://' || source || '/news.xml' || chr(10) AS body
@@ -1421,7 +1424,13 @@ def _hits_planned_oracle(iters: int = 5, fanout: int = 3, tokens: int = 10) -> s
     """hits_planned_admission replay: the shared HITS chain, authority →
     negated micro-quantized priority (authority_priorities), then the
     Crawler's closed-form round assignment round = (rank-1) div tokens per
-    host ordered by (priority, doc_id)."""
+    host ordered by (priority, doc_id). Quantization caveat (same class as
+    the pagerank/link_hits oracles): the two engines' auth sums differ by
+    ~1e-15 relative, so round(auth*1e6) could in principle land on opposite
+    sides of a .5 boundary — needs the fractional part within ~1e-9 of .5
+    on the FIXED deterministic graph, which the contract sweep would
+    surface immediately; the (priority, doc_id) ordering is stable given
+    equal priorities."""
     return (
         _hits_ctes(iters, fanout)
         + f""",

@@ -151,3 +151,29 @@ def test_transport_error_becomes_empty_string_body(spark, pages, web):
     assert texts[f"{BASE}/discussion.html"] == ""
     assert texts[f"{BASE}/prosecutor.html"] == ""
     assert texts[f"{BASE}/webinar.html"] != ""
+
+
+def test_transport_called_exactly_once_per_url_across_actions(
+    spark, pages, web, tmp_path
+):
+    """One token, ONE fetch: the transport stage is pinned before anything
+    downstream reads it, so repeated actions over the crawl result (the
+    count-then-collect pattern, per-kind extraction scans, commits) replay
+    the pin — never the live web. An unpinned lazy transport would re-fetch
+    every URL per action, silently multiplying real requests past the
+    politeness budget."""
+    import os
+    from collections import Counter
+
+    log_dir = str(tmp_path / "calls_once")
+    os.makedirs(log_dir)
+    res = Crawler(
+        spark, pages.limit(0), [basic_seed()], fetch_fn=_transport(web, log_dir)
+    ).crawl()
+    # several actions over the same result, like a real consumer
+    res.extracted.count()
+    res.extracted.collect()
+    res.extracted.agg(F.sum(F.length("text"))).collect()
+    counts = Counter(_read_log(log_dir))
+    dupes = {u: n for u, n in counts.items() if n > 1}
+    assert dupes == {}, f"urls fetched more than once: {dupes}"

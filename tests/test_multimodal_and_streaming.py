@@ -548,6 +548,11 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
         # header shell with NO scan at all (the r4 stub shape) is also
         # parse_error now — an undecodable image is not a valid asset
         (7, "u7", encode_jpeg_stub(10, 4), ("image", "jpeg", 10, 4, None)),
+        # VALID progressive JPEG (SOF2): not decodable by the baseline
+        # codec, but NOT corruption — dims fall back to the SOF header
+        # walk, so a truthful sidecar is ok and a lying one is mismatch
+        (8, "u8", jpg.replace(b"\xff\xc0", b"\xff\xc2", 1), ("image", "jpeg", 10, 4, None)),
+        (9, "u9", jpg.replace(b"\xff\xc0", b"\xff\xc2", 1), ("image", "jpeg", 10, 99, None)),
     ]
     media = spark.createDataFrame(rows, schema=MEDIA)
     out = {r["asset_id"]: r for r in media_meta_check(media).collect()}
@@ -559,6 +564,8 @@ def test_jpeg_header_parsing_and_media_meta_check(spark):
     assert out[5]["status"] == "ok"  # nothing to contradict
     assert out[6]["status"] == "parse_error"
     assert out[7]["status"] == "parse_error"
+    assert out[8]["status"] == "ok" and (out[8]["real_width"], out[8]["real_height"]) == (10, 4)
+    assert out[9]["status"] == "mismatch" and out[9]["real_height"] == 4
 
 
 def test_mp4_sample_table_and_frame_schedule(spark):
@@ -578,8 +585,9 @@ def test_mp4_sample_table_and_frame_schedule(spark):
     deltas = [500, 500, 2000, 100, 100, 100, 700]
     payload = encode_mp4_with_samples(deltas, sample_sizes=[10, 20, 30, 40, 50, 60, 70])
     table = mp4_sample_table(payload)
-    assert [s for s, _ in table] == [0, 500, 1000, 3000, 3100, 3200, 3300]
-    assert [sz for _, sz in table] == [10, 20, 30, 40, 50, 60, 70]
+    assert [s for s, _, _ in table] == [0, 500, 1000, 3000, 3100, 3200, 3300]
+    assert [sz for _, sz, _ in table] == [10, 20, 30, 40, 50, 60, 70]
+    assert [d for _, _, d in table] == deltas
 
     rows = [
         (0, "u0", payload, ("video", "mp4", 64, 48, 4000)),
@@ -592,8 +600,50 @@ def test_mp4_sample_table_and_frame_schedule(spark):
         for r in out
         if r["asset_id"] == 0
     )
-    # duration = 3300 + last gap 100 = 3400 -> targets 0/1000/2000/3000;
-    # at 2000 the long still sample (index 2, started at 1000) is current
+    # duration = 3300 + REAL last stts delta 700 = 4000 -> targets
+    # 0/1000/2000/3000; at 2000 the long still sample (index 2, started at
+    # 1000) is current
     assert got == [(0, 0, 0), (1000, 2, 1000), (2000, 2, 1000), (3000, 3, 3000)]
     sentinel = [r for r in out if r["asset_id"] == 1]
     assert len(sentinel) == 1 and sentinel[0]["sample_index"] == -1
+
+
+def test_frame_schedule_covers_long_final_still_sample():
+    """A track ending in a LONG still sample must be sampled through that
+    sample's whole span — approximating track end with the previous
+    inter-sample gap (the old behavior) would stop at 200 ms and emit a
+    single row for a 3.1-second track."""
+    from upton_spark.operators.multimodal import (
+        encode_mp4_with_samples,
+        mp4_sample_table,
+        schedule_from_samples,
+    )
+
+    payload = encode_mp4_with_samples([100, 3000])
+    rows = schedule_from_samples(mp4_sample_table(payload), 1000)
+    # true duration 3100 -> targets 0/1000/2000/3000, all but the first
+    # covered by the final still sample (index 1, starts at 100)
+    assert rows == [(0, 0, 0), (1000, 1, 100), (2000, 1, 100), (3000, 1, 100)]
+
+
+def test_mp4_sample_table_skips_leading_trak_without_sample_chain():
+    """Real files lead with hint/metadata tracks: a first trak with no
+    mdia (or no stbl/stts) must not mask the media track behind it."""
+    import struct
+
+    from upton_spark.operators.multimodal import (
+        encode_mp4_with_samples,
+        mp4_sample_table,
+    )
+
+    full = encode_mp4_with_samples([250, 250], sample_sizes=[5, 7])
+    # splice a sample-chain-free trak (empty tref payload) in front of the
+    # real trak inside moov
+    ftyp, moov = full[:16], full[16:]
+    body = moov[8:]
+    hollow = struct.pack(">I", 16) + b"trak" + struct.pack(">I", 8) + b"tref"
+    # moov body = mvhd + trak; insert the hollow trak between them
+    mvhd_len = struct.unpack(">I", body[:4])[0]
+    patched_body = body[:mvhd_len] + hollow + body[mvhd_len:]
+    patched = ftyp + struct.pack(">I", 8 + len(patched_body)) + b"moov" + patched_body
+    assert mp4_sample_table(patched) == [(0, 5, 250), (250, 7, 250)]

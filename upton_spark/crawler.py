@@ -131,6 +131,11 @@ _URL_FILE_MAP_CACHE: dict[tuple, DataFrame] = {}
 # per-(session, corpus) count of driver-known-IN prescans, driving the
 # build-on-second-prescan policy in _prune_file_list
 _PRESCAN_COUNTS: dict[tuple, int] = {}
+# single-slot cache of the latest oneshot decisions pin per session (see
+# _run_fetch_rounds_oneshot): the pin must outlive its crawl (the returned
+# frontier/seen read it lazily), but without a slot every oneshot crawl in
+# a long-lived session would leak one cached DataFrame
+_ONESHOT_DECISIONS_PIN: dict[str, DataFrame] = {}
 
 
 def _tokens_col(sleep_col, round_budget_s: float):
@@ -1271,14 +1276,25 @@ class Crawler:
             # so admitted and deferred alike read back from one parquet.
             if self.fetch_fn is not None:
                 # live mode: ONLY admitted non-cache-hit rows (the token
-                # consumers) reach the transport; cache hits read the stash;
-                # deferred rows carry a NULL body this round (unread — they
-                # re-enter admission next round)
+                # consumers) reach the transport; admitted cache hits read
+                # the stash; deferred rows carry a NULL body this round
+                # (unread — they re-enter admission next round). Deferred
+                # rows must NOT read the stash here: a stale stash body
+                # would feed body_empty/chain logic with content the live
+                # crawl never fetched this round.
                 is_live = F.col("admitted") & ~F.col("cache_hit")
-                fused = self._transport_bodies(
-                    cand.filter(is_live), "fetch_url"
-                ).unionByName(
-                    self._join_bodies(cand.filter(~is_live), "fetch_url")
+                deferred = cand.filter(~F.col("admitted")).withColumn(
+                    "html", F.lit(None).cast("binary")
+                )
+                fused = (
+                    self._transport_bodies(cand.filter(is_live), "fetch_url")
+                    .unionByName(
+                        self._join_bodies(
+                            cand.filter(F.col("admitted") & F.col("cache_hit")),
+                            "fetch_url",
+                        )
+                    )
+                    .unionByName(deferred)
                 )
             elif bcast_pages:
                 fused = cand.join(
@@ -1792,8 +1808,20 @@ class Crawler:
         # aggregation into ONE job (the loop's parquet write+read round trip
         # is for unbounded round iteration; the oneshot is a single pass, so
         # a cached plan never grows). Later consumers (status_map, seen)
-        # read the cached rows.
+        # read the cached rows. Single-slot per session: the previous
+        # oneshot crawl's pin is released here (its result DataFrames stay
+        # correct — they recompute from pinned parquet inputs if re-acted
+        # on), so repeated crawls never accumulate dead cache blocks.
+        app_id = self.spark.sparkContext.applicationId
+        for k in list(_ONESHOT_DECISIONS_PIN):
+            old = _ONESHOT_DECISIONS_PIN.pop(k)
+            if k == app_id:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # a pin from a stopped session has nothing to free
         decisions = decisions.persist()
+        _ONESHOT_DECISIONS_PIN[app_id] = decisions
         pid = F.pmod(F.hash("host"), F.lit(N_LINEAGE_BUCKETS)).cast("int")
         rows = (
             decisions.groupBy("decision", "round_assigned", pid.alias("pid"))
@@ -1990,13 +2018,20 @@ class Crawler:
         Live mode (fetch_fn set): status='fetched' rows — exactly the rows
         the admission loop charged a politeness token — acquire bodies
         through the transport; cache_hit rows still read the stash, and
-        blocked/failed rows never touch the transport."""
+        blocked/failed rows never touch the transport. The transport stage
+        is MATERIALIZED (parquet pin) before anything downstream sees it:
+        extraction plans are replayed by every action over them (scrape's
+        guard probe + collect, one scan per extract kind, catalog commits),
+        and a lazy transport would re-fetch every URL on each replay —
+        breaking the one-token-one-fetch contract the admission loop paid
+        for. The pin doubles as the stash write shape a real deployment
+        would persist."""
         if self.fetch_fn is not None:
             live = frontier.filter(F.col("status") == "fetched")
             rest = frontier.filter(F.col("status") != "fetched")
-            joined = self._transport_bodies(live, "url").unionByName(
-                self._join_bodies(rest, "url")
-            )
+            joined = self._materialize(
+                self._transport_bodies(live, "url"), "live_bodies"
+            ).unionByName(self._join_bodies(rest, "url"))
         else:
             joined = self._join_bodies(frontier, "url", prune_files=prune_files)
         return joined.withColumn(
@@ -2263,17 +2298,22 @@ class Crawler:
         it raises, pointing at the distributed sinks (scrape_to_csv, or
         CrawlResult.extracted for DataFrame composition)."""
         result = self.crawl()
-        probe = result.extracted.limit(self.SCRAPE_MAX_ROWS + 1).count()
-        if probe > self.SCRAPE_MAX_ROWS:
+        # guard and collect in ONE action: limit(bound+1) caps what can ever
+        # reach the driver, and an overflowing result shows up as bound+1
+        # collected rows. A separate count() probe would evaluate the
+        # UDF-heavy extraction plan twice per scrape.
+        rows = (
+            result.extracted.limit(self.SCRAPE_MAX_ROWS + 1)
+            .orderBy("seed_id", "instance_index", "pagination_index", "match_index")
+            .collect()
+        )
+        if len(rows) > self.SCRAPE_MAX_ROWS:
             raise ValueError(
                 f"scrape() collects extracted rows to the driver and this crawl "
                 f"produced more than SCRAPE_MAX_ROWS={self.SCRAPE_MAX_ROWS}; use "
                 "scrape_to_csv(path, single_file=False) for a distributed sink, "
                 "or work with CrawlResult.extracted directly"
             )
-        rows = result.extracted.orderBy(
-            "seed_id", "instance_index", "pagination_index", "match_index"
-        ).collect()
         kinds = {s.seed_id: s.extract_kind for s in self.seeds}
         docs: dict[tuple, object] = {}
         for r in rows:

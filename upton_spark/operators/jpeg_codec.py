@@ -57,6 +57,13 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+class UnsupportedJpegProcess(ValueError):
+    """A VALID JPEG whose coding process this baseline decoder doesn't
+    implement (progressive SOF2, arithmetic coding, 12-bit precision) —
+    distinct from corruption so callers can fall back to the SOF header
+    walk instead of flagging a good asset as parse_error."""
+
+
 class _BitReader:
     """Entropy-segment bit reader: byte-destuffing (FF 00 → FF), restart
     markers surfaced via ``at_restart``/``skip_restart``, any other marker
@@ -189,14 +196,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC0 or marker == 0xC1:  # baseline / extended sequential
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
+                raise UnsupportedJpegProcess(f"unsupported JPEG precision {prec}")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            raise UnsupportedJpegProcess("only baseline sequential JPEG is supported")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS

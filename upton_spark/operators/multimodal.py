@@ -243,12 +243,18 @@ def _mp4_walk(data: bytes, start: int, end: int):
 
 
 def _mp4_find(data: bytes, start: int, end: int, path: list[bytes]):
-    """First box at a nested path (e.g. [b'trak', b'mdia', b'stbl'])."""
+    """First box at a nested path (e.g. [b'trak', b'mdia', b'stbl']),
+    backtracking across siblings: a moov whose FIRST trak is a hint/audio
+    track without the nested boxes must not mask a later trak that has
+    them — the search continues through every matching sibling until one
+    completes the whole path."""
     if not path:
         return start, end
     for btype, bstart, bend in _mp4_walk(data, start, end):
         if btype == path[0]:
-            return _mp4_find(data, bstart, bend, path[1:])
+            found = _mp4_find(data, bstart, bend, path[1:])
+            if found is not None:
+                return found
     return None
 
 
@@ -298,23 +304,40 @@ def encode_mp4_stub(duration_ms: int) -> bytes:
     return ftyp + moov
 
 
-def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
-    """Per-sample (start_ms, byte_size) from the first track's REAL sample
-    tables (ISO/IEC 14496-12 §8.6.1.2 stts, §8.7.3.2 stsz): run-length
-    time-to-sample deltas cumulated in the mdhd media timescale, converted
-    to ms. This is the truth a frame scheduler should use — per-sample
-    timing is NOT uniform in real video (variable frame rate, edit lists,
-    long still frames), so dividing mvhd duration evenly mis-schedules."""
+def mp4_sample_table(payload: bytes) -> list[tuple[int, int, int]]:
+    """Per-sample (start_ms, byte_size, duration_ms) from the first track's
+    REAL sample tables (ISO/IEC 14496-12 §8.6.1.2 stts, §8.7.3.2 stsz):
+    run-length time-to-sample deltas cumulated in the mdhd media timescale,
+    converted to ms. The per-sample duration is carried (not just the
+    start): stts's final delta is the only honest source for where the
+    track ENDS — approximating track end from the previous inter-sample
+    gap mis-schedules whenever the last sample is a long still. This is
+    the truth a frame scheduler should use — per-sample timing is NOT
+    uniform in real video (variable frame rate, edit lists, long still
+    frames), so dividing mvhd duration evenly mis-schedules."""
     moov = _mp4_find(payload, 0, len(payload), [b"moov"])
     if moov is None:
         raise ValueError("no moov box found")
-    mdia = _mp4_find(payload, moov[0], moov[1], [b"trak", b"mdia"])
-    if mdia is None:
-        raise ValueError("no trak/mdia box found")
-    mdhd = _mp4_find(payload, mdia[0], mdia[1], [b"mdhd"])
-    stbl = _mp4_find(payload, mdia[0], mdia[1], [b"minf", b"stbl"])
+    # first trak that carries a COMPLETE media-sample chain (mdhd + stbl +
+    # stts) — real files lead with hint or metadata tracks whose mdia
+    # lacks sample tables, and those must not mask the media track
+    mdhd = stbl = stts = None
+    for btype, tstart, tend in _mp4_walk(payload, moov[0], moov[1]):
+        if btype != b"trak":
+            continue
+        mdia = _mp4_find(payload, tstart, tend, [b"mdia"])
+        if mdia is None:
+            continue
+        mdhd = _mp4_find(payload, mdia[0], mdia[1], [b"mdhd"])
+        stbl = _mp4_find(payload, mdia[0], mdia[1], [b"minf", b"stbl"])
+        stts = (
+            _mp4_find(payload, stbl[0], stbl[1], [b"stts"]) if stbl is not None else None
+        )
+        if mdhd is not None and stbl is not None and stts is not None:
+            break
+        mdhd = stbl = stts = None
     if mdhd is None or stbl is None:
-        raise ValueError("no mdhd/stbl box found")
+        raise ValueError("no trak with mdhd/stbl/stts found")
     version = payload[mdhd[0]]
     if version == 1:
         (timescale,) = struct.unpack(">I", payload[mdhd[0] + 20 : mdhd[0] + 24])
@@ -322,11 +345,9 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
         (timescale,) = struct.unpack(">I", payload[mdhd[0] + 12 : mdhd[0] + 16])
     if timescale == 0:
         raise ValueError("mdhd timescale 0")
-    stts = _mp4_find(payload, stbl[0], stbl[1], [b"stts"])
-    if stts is None:
-        raise ValueError("no stts box found")
     (n_entries,) = struct.unpack(">I", payload[stts[0] + 4 : stts[0] + 8])
     starts: list[int] = []
+    durs: list[int] = []
     t = 0
     pos = stts[0] + 8
     for _ in range(n_entries):
@@ -335,7 +356,10 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
         if pos > stts[1]:
             raise ValueError("truncated stts entries")
         for _ in range(count):
-            starts.append(t * 1000 // timescale)
+            start_ms = t * 1000 // timescale
+            starts.append(start_ms)
+            # end-quantized so consecutive (start + dur) chain exactly
+            durs.append((t + delta) * 1000 // timescale - start_ms)
             t += delta
     sizes = [0] * len(starts)
     stsz = _mp4_find(payload, stbl[0], stbl[1], [b"stsz"])
@@ -350,7 +374,7 @@ def mp4_sample_table(payload: bytes) -> list[tuple[int, int]]:
                 pos += 4
                 if pos > stsz[1]:
                     raise ValueError("truncated stsz entries")
-    return list(zip(starts, sizes))
+    return list(zip(starts, sizes, durs))
 
 
 def _full_box(btype: bytes, body: bytes) -> bytes:
@@ -474,11 +498,20 @@ def container_dimensions(payload: bytes, fmt: str) -> tuple[int, int]:
         arr = decode_gif(payload)
         return int(arr.shape[1]), int(arr.shape[0])
     if fmt == "jpeg":
-        from upton_spark.operators.jpeg_codec import jpeg_decoded_dimensions
+        from upton_spark.operators.jpeg_codec import (
+            UnsupportedJpegProcess,
+            jpeg_decoded_dimensions,
+        )
 
         # full baseline decode (like png/gif): a truncated or corrupt scan
-        # must surface as parse_error, not pass on an intact SOF header
-        return jpeg_decoded_dimensions(payload)
+        # must surface as parse_error, not pass on an intact SOF header.
+        # VALID non-baseline processes (progressive SOF2, arithmetic — a
+        # large share of real web JPEGs) are NOT corruption: fall back to
+        # the SOF header walk so their dimensions still validate
+        try:
+            return jpeg_decoded_dimensions(payload)
+        except UnsupportedJpegProcess:
+            return jpeg_dimensions(payload)
     raise NotImplementedError(f"no dimension parser for format {fmt!r}")
 
 
@@ -603,21 +636,24 @@ def frame_sample(
 
 
 def schedule_from_samples(
-    table: list[tuple[int, int]], every_ms: int
+    table: list[tuple[int, int, int]], every_ms: int
 ) -> list[tuple[int, int, int]]:
-    """(start_ms, size) sample table → [(target_ms, sample_index,
-    sample_start_ms)] rows, one per ``every_ms`` instant, each carrying the
-    sample current at that instant. Pure function shared by the Spark UDF
-    and oracle generation. Empty/unparseable table → the single sentinel
-    row (0, -1, 0) so bad assets stay visible instead of vanishing."""
+    """(start_ms, size, duration_ms) sample table → [(target_ms,
+    sample_index, sample_start_ms)] rows, one per ``every_ms`` instant,
+    each carrying the sample current at that instant. Pure function shared
+    by the Spark UDF and oracle generation. Empty/unparseable table → the
+    single sentinel row (0, -1, 0) so bad assets stay visible instead of
+    vanishing. Track end is the last sample's REAL end (start + stts
+    duration) — a long final still sample is sampled through its whole
+    span, and a short one doesn't drag targets past track end."""
     import bisect
 
     if not table:
         return [(0, -1, 0)]
-    starts = [s for s, _sz in table]
-    # track duration = last start + its delta, approximated with the last
-    # gap (or every_ms for a single-sample track)
-    duration = starts[-1] + (starts[-1] - starts[-2] if len(starts) > 1 else every_ms)
+    starts = [row[0] for row in table]
+    last = table[-1]
+    last_dur = last[2] if len(last) > 2 and last[2] > 0 else every_ms
+    duration = last[0] + last_dur
     rows = []
     for t in range(0, max(duration, 1), every_ms):
         i = bisect.bisect_right(starts, t) - 1

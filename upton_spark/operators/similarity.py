@@ -14,6 +14,28 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
+# single-slot cache of the latest semantic_dedup assignment per session:
+# the IVF-assignment matmul output is scanned up to three times (hot-cell
+# probe + both sides of the pair join), so it is persisted — and the pin
+# must outlive the call (the returned plan reads it lazily), so each new
+# call releases the previous one instead of leaking a cache per call
+_ASSIGNED_PIN: dict[str, DataFrame] = {}
+
+
+def _pin_assigned(assigned: DataFrame) -> DataFrame:
+    app_id = assigned.sparkSession.sparkContext.applicationId
+    for k in list(_ASSIGNED_PIN):
+        old = _ASSIGNED_PIN.pop(k)
+        if k == app_id:
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # a pin from a stopped session has nothing to free
+    assigned = assigned.persist()
+    _ASSIGNED_PIN[app_id] = assigned
+    return assigned
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -351,8 +373,13 @@ def semantic_dedup(
     signature), found ⊆ the exact-cell result by construction.
     ``sub_planes > 0`` instead splits every cell (the original opt-in
     trade); ``hot_cell_threshold=None`` disables protection entirely."""
-    assigned = with_ivf_cell(embeddings, centroids, vec_col).select(
-        id_col, vec_col, "ivf_cell"
+    # pin the assignment: the Arrow-batch matmul output is read by the
+    # hot-cell probe AND both sides of the pair join — unpersisted, each
+    # read would re-run the full-corpus assignment (see _pin_assigned)
+    assigned = _pin_assigned(
+        with_ivf_cell(embeddings, centroids, vec_col).select(
+            id_col, vec_col, "ivf_cell"
+        )
     )
     assigned, pair_keys = _with_pair_keys(
         assigned, centroids, vec_col, sub_planes, hot_cell_threshold
