@@ -138,7 +138,11 @@ def run_politeness_bench(spark, pages, corpus_path: str, sleep_time: float = 2.5
     from upton_spark.sources.corpus import synth_seeds
 
     seeds = synth_seeds(600, 100, sleep_time=sleep_time)[300:312]
-    return _politeness_crawl(spark, pages, corpus_path, seeds)
+    # 3 measured runs like the frontier probe: the politeness probes are
+    # driver-latency-bound and the noisiest in the suite (r5 saw 7.2/15.3s
+    # same-session runs), so a 2-run median is one bad run away from a
+    # phantom regression
+    return _politeness_crawl(spark, pages, corpus_path, seeds, n_runs=3)
 
 
 def run_politeness_chain_deep_bench(spark, pages, corpus_path: str) -> dict:
@@ -151,7 +155,7 @@ def run_politeness_chain_deep_bench(spark, pages, corpus_path: str) -> dict:
     from upton_spark.sources.corpus import synth_seeds
 
     seeds = synth_seeds(600, 100, sleep_time=30.0)[0:2]
-    return _politeness_crawl(spark, pages, corpus_path, seeds)
+    return _politeness_crawl(spark, pages, corpus_path, seeds, n_runs=3)
 
 
 def _politeness_crawl(spark, pages, corpus_path: str, seeds, n_runs: int = 2) -> dict:
