@@ -1519,6 +1519,52 @@ def q_crawl_budget(spark, sf_dir):
     return allocate_budget(hosts, total_budget=600, floor=2, cap=50).orderBy("host")
 
 
+def q_surt_keys(spark, sf_dir):
+    """SURT sort keys (web-archive-standard URL ordering,
+    operators.webgraph.surt_key): deterministic urls with mixed subdomains
+    (www stripped, m./cdn. preserved-and-reversed) and sparse query
+    strings, keyed so a domain's whole subtree is one contiguous range.
+    Map-only codegen — the 100-TB use is sort/range-partition locality
+    (site-contiguous ranges, shared-prefix compression, LIKE-prefix file
+    pruning). Oracle: DuckDB string_split + list_reverse replay."""
+    from upton_spark.operators.webgraph import surt_keys
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit(""), F.lit("m."), F.lit("cdn.")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    q = F.when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+        F.concat(F.lit("?page="), F.col("doc_id")),
+    ).otherwise(F.lit(""))
+    url = F.concat(F.lit("http://"), sub, F.col("source"), F.lit("/d/"), F.col("doc_id"), q)
+    return (
+        surt_keys(docs.withColumn("url", url))
+        .select("doc_id", "url", "surt")
+        .orderBy("doc_id")
+    )
+
+
+def q_host_split(spark, sf_dir):
+    """Host-disjoint train/val/test split (operators.sampling.
+    host_disjoint_split): split is a pure function of the host's md5
+    bucket, so a host's templated near-duplicate pages can never straddle
+    train and eval — the leakage a row-level random split causes. Pure
+    codegen (md5 → conv → pmod), no shuffle, engine-swap exact; DuckDB
+    replays the identical arithmetic."""
+    from upton_spark.operators.sampling import host_disjoint_split
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("host")
+    )
+    return (
+        host_disjoint_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "host", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_planned_admission(spark, sf_dir):
     """The Crawler's PLANNED admission schedule as a pure query — the same
     math the wired crawl loop runs (crawler.py:_with_priority /
@@ -1862,6 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "crawl_snapshot_diff": q_crawl_snapshot_diff,
         "crawl_budget": q_crawl_budget,
+        "surt_keys": q_surt_keys,  # new in r5 (web-archive sort keys)
+        "host_split": q_host_split,  # new in r5 (leakage-safe splits)
     })
 
 
@@ -2260,6 +2308,40 @@ _WEBGRAPH_ORACLES = {
                CAST((n_docs * 600) // tw AS BIGINT) AS share,
                CAST(greatest(2, least(50, (n_docs * 600) // tw)) AS BIGINT) AS budget
         FROM h CROSS JOIN t ORDER BY host
+    """,
+    "surt_keys": """
+        WITH u AS (
+          SELECT doc_id, source,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'www.' WHEN 1 THEN '' WHEN 2 THEN 'm.'
+                   ELSE 'cdn.' END AS sub,
+                 CASE WHEN doc_id % 3 = 0 THEN '?page=' || doc_id
+                      ELSE '' END AS q
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 'http://' || sub || source || '/d/' || doc_id || q AS url,
+                 regexp_replace(lower(sub || source), '^www\\.', '') AS h,
+                 '/d/' || doc_id AS path, q
+          FROM u
+        )
+        SELECT doc_id, url,
+               array_to_string(list_reverse(string_split(h, '.')), ',')
+                 || ')' || path || q AS surt
+        FROM b ORDER BY doc_id
+    """,
+    "host_split": """
+        WITH b AS (
+          SELECT doc_id, source AS host,
+                 CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                   % 10000 AS bkt
+          FROM documents
+        )
+        SELECT doc_id, host,
+               CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
     """,
     "sitemap_discovery": _SITEMAP_DISCOVERY_ORACLE,
     "sitemap_extract": """

@@ -440,3 +440,43 @@ def test_gopher_rules_all_codegen(spark):
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "Exchange" not in plan  # map-only
+
+
+def test_host_disjoint_split_is_host_pure_and_engine_stable(spark):
+    """Every host maps to exactly ONE split (leakage-safe by construction),
+    the assignment is a pure md5 function (repartition-invariant), and the
+    fraction thresholds resolve to exact integers."""
+    import hashlib
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.sampling import host_disjoint_split
+
+    rows = [(i, f"host-{i % 37}.example") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = host_disjoint_split(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_host = (
+        out.groupBy("host")
+        .agg(F.countDistinct("split").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in per_host)
+    # pure-python replay of the md5 bucket rule == the engine's assignment
+    def expect(host):
+        bkt = int(hashlib.md5(host.encode()).hexdigest()[:15], 16) % 10_000
+        return "train" if bkt < 8000 else ("val" if bkt < 9000 else "test")
+
+    got = {r["host"]: r["split"] for r in out.select("host", "split").distinct().collect()}
+    assert got == {h: expect(h) for h in got}
+    # repartition-invariance
+    got2 = {
+        r["host"]: r["split"]
+        for r in host_disjoint_split(df.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("host", "split")
+        .distinct()
+        .collect()
+    }
+    assert got2 == got
+    with _pytest.raises(ValueError, match="sum to 1"):
+        host_disjoint_split(df, {"train": 0.5, "val": 0.1})

@@ -314,3 +314,35 @@ def test_hits_matches_numpy_iteration(spark):
     # node 2 is the top authority; node 4 (two strong outlinks) a top hub
     assert max(range(n), key=lambda i: got[i][0]) == 2
     assert got[4][1] == max(v[1] for v in got.values())
+
+
+def test_surt_key_forms_and_site_locality(spark):
+    """SURT (web-archive sort key): lowercase, one leading www. stripped,
+    host labels reversed comma-joined, ')' + path (+ raw query). Sorting
+    by surt puts every subdomain of a domain in one contiguous range —
+    plain URL order scatters them."""
+    from pyspark.sql import functions as F
+
+    from upton_spark.operators.webgraph import surt_keys
+
+    urls = [
+        "http://www.Example.com/a/b?q=1",
+        "http://example.com/",
+        "http://m.example.com/x",
+        "http://cdn.example.com",
+        "http://api.other.org/v1",
+        "http://www.www2.example.com/y",  # only ONE leading www. strips
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["surt"] for r in surt_keys(df).collect()}
+    assert got["http://www.Example.com/a/b?q=1"] == "com,example)/a/b?q=1"
+    assert got["http://example.com/"] == "com,example)/"
+    assert got["http://m.example.com/x"] == "com,example,m)/x"
+    assert got["http://cdn.example.com"] == "com,example,cdn)/"
+    assert got["http://api.other.org/v1"] == "org,other,api)/v1"
+    assert got["http://www.www2.example.com/y"] == "com,example,www2)/y"
+    # site locality: all example.com subdomains sort adjacent (one range)
+    ordered = sorted(got.values())
+    ex = [s for s in ordered if s.startswith("com,example")]
+    lo = ordered.index(ex[0])
+    assert ordered[lo : lo + len(ex)] == ex

@@ -66,6 +66,55 @@ def stratified_sample(
     return df.filter(bucket < thr)
 
 
+def host_bucket_col(host: Column) -> Column:
+    """Deterministic bucket in [0, 10000) from a STRING key, cross-engine
+    exact: the first 15 hex chars (60 bits — fits a signed int64 with no
+    overflow anywhere) of md5(host) parsed as an integer, mod 10000.
+    DuckDB replays it verbatim as
+    ``CAST(('0x' || substr(md5(host),1,15)) AS BIGINT) % 10000``. md5, not
+    xxhash64/murmur3: those are engine-specific, and a split assignment
+    must survive an engine swap bit-for-bit."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(host), 1, 15), 16, 10).cast("long"),
+        F.lit(_BUCKETS),
+    )
+
+
+def host_disjoint_split(
+    df: DataFrame,
+    fracs: dict[str, float],
+    host_col: str = "host",
+) -> DataFrame:
+    """Train/val/test assignment that is HOST-DISJOINT by construction:
+    ``split`` is a pure function of the host string (md5 bucket vs
+    cumulative fraction thresholds), so every page of a host — and its
+    near-duplicates, boilerplate siblings, and templated variants, which
+    overwhelmingly live on the SAME host — lands in the same split. A
+    row-level random split leaks: half a site's templated pages in train,
+    half in val, and the eval set is contaminated with what are
+    effectively training documents.
+
+    ``fracs``: ordered {split_name: fraction}; fractions over buckets are
+    cumulative, thresholds resolve to exact integers driver-side (the
+    stratified_sample IEEE lesson). Map-only codegen — no shuffle, no
+    Python; repartition/resume/engine-swap yield the same assignment.
+    Realized fractions converge at corpus scale (hosts are the unit)."""
+    total = sum(float(v) for v in fracs.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = host_bucket_col(F.col(host_col))
+    expr = None
+    cum = 0.0
+    names = list(fracs)
+    for name in names[:-1]:
+        cum += float(fracs[name])
+        thr = F.lit(int(round(cum * _BUCKETS)))
+        expr = F.when(bucket < thr, name) if expr is None else expr.when(bucket < thr, name)
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
 def mixing_report(
     df: DataFrame,
     rates: dict[str, float],
