@@ -1519,6 +1519,105 @@ def q_crawl_budget(spark, sf_dir):
     return allocate_budget(hosts, total_budget=600, floor=2, cap=50).orderBy("host")
 
 
+def q_main_content(spark, sf_dir):
+    """Main-content extraction (boilerplate removal,
+    operators.boilerplate): deterministic synthetic pages — a link-dense
+    nav, the document's words chunked into <p> paragraphs, a link-heavy
+    'related' rail, a footer — through the jusText-style leaf-block
+    text/link-density classifier. Output per page: block counts + the
+    kept-content md5 (content itself is free text; the hash is the
+    value contract). Scale shape: ONE Arrow mapInPandas stage over the
+    pages scan + a per-url groupBy; oracle = the same pure classifier
+    (content_blocks) replayed at generation time over the same parquet
+    text, baked as VALUES (bake-the-constants pattern)."""
+    from upton_spark.operators.boilerplate import extract_main_content
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.floor((F.size(words) - 1) / 12)),
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, (i * 12 + 1).cast("int"), 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "",
+    )
+    html = F.concat(
+        F.lit(
+            '<html><head><title>d</title></head><body>'
+            '<nav><a href="/h">home</a> <a href="/a">about</a> '
+            '<a href="/c">contact</a></nav>'
+        ),
+        body,
+        F.lit('<div><a href="/r">related links row</a> x</div>'),
+        F.lit('<footer><a href="/t">terms</a> (c) '),
+        F.col("source"),
+        F.lit("</footer></body></html>"),
+    )
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), html.alias("html"))
+    out = extract_main_content(pages, html_col="html", url_col="url")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "n_blocks",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.length("content").cast("long").alias("n_content_chars"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+def _main_content_oracle() -> str | None:
+    """main_content oracle: the SAME pure classifier (content_blocks is
+    plain Python, no Spark) replayed over the driver's sf0.01 parquet text
+    at generation time, baked as VALUES — independent of the Spark
+    execution path under test (the mapInPandas stage, the block explode,
+    the order-pinned aggregation)."""
+    try:
+        import duckdb
+
+        from upton_spark.operators.boilerplate import content_blocks
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text, source FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    import hashlib
+
+    vals = []
+    for d, t, s in rows:
+        w = (t or "").split(" ")
+        paras = [
+            " ".join(w[i * 12 : i * 12 + 12]) for i in range((len(w) - 1) // 12 + 1)
+        ]
+        html = (
+            '<html><head><title>d</title></head><body>'
+            '<nav><a href="/h">home</a> <a href="/a">about</a> '
+            '<a href="/c">contact</a></nav>'
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + '<div><a href="/r">related links row</a> x</div>'
+            + f'<footer><a href="/t">terms</a> (c) {s}</footer></body></html>'
+        )
+        blocks = content_blocks(html)
+        kept = [b[2] for b in blocks if b[5]]
+        content = "\n".join(kept)
+        digest = hashlib.md5(content.encode()).hexdigest()
+        vals.append(f"({d},{len(blocks)},{len(kept)},{len(content)},'{digest}')")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_blocks AS BIGINT) AS n_blocks, "
+        "CAST(n_kept AS BIGINT) AS n_kept, CAST(n_content_chars AS BIGINT) AS n_content_chars, "
+        "content_md5 FROM (VALUES "
+        + ",".join(vals)
+        + ") v(doc_id, n_blocks, n_kept, n_content_chars, content_md5) ORDER BY doc_id"
+    )
+
+
 def q_surt_keys(spark, sf_dir):
     """SURT sort keys (web-archive-standard URL ordering,
     operators.webgraph.surt_key): deterministic urls with mixed subdomains
@@ -1910,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "surt_keys": q_surt_keys,  # new in r5 (web-archive sort keys)
         "host_split": q_host_split,  # new in r5 (leakage-safe splits)
+        "main_content": q_main_content,  # new in r5 (boilerplate removal)
     })
 
 
@@ -2881,11 +2981,13 @@ def oracle_sql() -> dict[str, str]:
     dsir = _dsir_oracle()
     bpe = _bpe_oracle()
     lmppl = _lm_perplexity_oracle()
+    mc = _main_content_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
         **({"lm_perplexity": lmppl} if lmppl is not None else {}),
+        **({"main_content": mc} if mc is not None else {}),
         "media_meta_check": _media_meta_check_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "media_sample_frames": _media_sample_frames_oracle(),
