@@ -1893,6 +1893,66 @@ def q_crawl_fixture_headlines(spark, sf_dir):
     ).orderBy("instance_index")
 
 
+def q_crawl_content(spark, sf_dir):
+    """The flagship fixture crawl with extract_kind='content' — the
+    SELECTOR-FREE training-data path: the boilerplate classifier finds the
+    article prose itself (no per-site CSS). Output value contract: per
+    instance page, the kept-content md5 + length (content is free text;
+    the hash pins the bytes). Oracle: generated — the same pure
+    main_content over the same fixture bytes read straight from the
+    reference's spec/data at oracle-gen time."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    seeds = [
+        SeedSpec(
+            0,
+            seed_url=f"{BASE}/propublica.html",
+            index_selector="section#river section h1 a",
+            extract_kind="content",
+            sleep_time_between_requests=0.0,
+        )
+    ]
+    result = Crawler(spark, fixture_pages(spark), seeds).crawl()
+    return result.extracted.select(
+        "url",
+        F.col("instance_index").cast("long").alias("instance_index"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("content_md5"),
+    ).orderBy("instance_index")
+
+
+def _crawl_content_oracle() -> str | None:
+    """q_crawl_content replay: main_content (pure Python, no Spark) over
+    the four instance fixture files, in the RSpec crawl order."""
+    try:
+        import hashlib
+
+        from upton_spark.html.dom import decode_html_bytes
+        from upton_spark.operators.boilerplate import main_content
+        from upton_spark.sources.fixtures import BASE, FIXTURE_DIR
+
+        import os
+
+        order = ["webinar", "discussion", "prosecutor", "sixfacts"]
+        vals = []
+        for i, name in enumerate(order):
+            with open(os.path.join(FIXTURE_DIR, f"{name}.html"), "rb") as fh:
+                content = main_content(decode_html_bytes(fh.read()))
+            vals.append(
+                f"('{BASE}/{name}.html',{i},{len(content)},"
+                f"'{hashlib.md5(content.encode()).hexdigest()}')"
+            )
+    except Exception:
+        return None
+    return (
+        "SELECT url, CAST(instance_index AS BIGINT) AS instance_index, "
+        "CAST(n_chars AS BIGINT) AS n_chars, content_md5 FROM (VALUES "
+        + ",".join(vals)
+        + ") v(url, instance_index, n_chars, content_md5) ORDER BY instance_index"
+    )
+
+
 def _rotate_by_staleness(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2010,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,  # new in r5 (web-archive sort keys)
         "host_split": q_host_split,  # new in r5 (leakage-safe splits)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
+        "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
     })
 
 
@@ -2982,12 +3043,14 @@ def oracle_sql() -> dict[str, str]:
     bpe = _bpe_oracle()
     lmppl = _lm_perplexity_oracle()
     mc = _main_content_oracle()
+    cc = _crawl_content_oracle()
     return {
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
         **({"lm_perplexity": lmppl} if lmppl is not None else {}),
         **({"main_content": mc} if mc is not None else {}),
+        **({"crawl_content": cc} if cc is not None else {}),
         "media_meta_check": _media_meta_check_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "media_sample_frames": _media_sample_frames_oracle(),

@@ -77,3 +77,40 @@ def test_binary_html_column_decodes(spark):
     )
     out = extract_main_content(df).collect()[0]
     assert out["content"] == main_content(PAGE)
+
+
+def test_crawl_with_content_kind_is_selector_free(spark):
+    """extract_kind='content': a crawl with NO extract selector returns
+    each instance page's main content (boilerplate removed) — the
+    training-data path. Must equal the pure-function replay on the same
+    fixture bytes, and scrape() returns the strings."""
+    from upton_spark.crawler import Crawler, SeedSpec
+    from upton_spark.sources.fixtures import BASE, fixture_pages
+
+    pages = fixture_pages(spark)
+    seed = SeedSpec(
+        0,
+        seed_url=f"{BASE}/propublica.html",
+        index_selector="section#river section h1 a",
+        extract_kind="content",
+        sleep_time_between_requests=0.0,
+    )
+    crawler = Crawler(spark, pages, [seed])
+    result = crawler.crawl()
+    got = {
+        r["url"]: r["text"]
+        for r in result.extracted.select("url", "text").collect()
+    }
+    raw = {
+        r["url"]: bytes(r["html"])
+        for r in pages.select("url", "html").collect()
+        if r["url"] in got
+    }
+    from upton_spark.html.dom import decode_html_bytes
+
+    assert len(got) == 4
+    for url, text in got.items():
+        assert text == main_content(decode_html_bytes(raw[url])), url
+        assert len(text) > 100  # real prose survived the classifier
+    docs = Crawler(spark, pages, [seed]).scrape()
+    assert sorted(docs) == sorted(got.values())

@@ -56,6 +56,7 @@ from upton_spark.functions.udfs import (
     extract_table_udf,
     extract_text_udf,
     host_col,
+    main_content_udf,
     next_index_page_url_udf,
     resolve_url_udf,
 )
@@ -88,7 +89,9 @@ class SeedSpec:
     url_list: list[str] | None = None
     index_selector: str = ""
     extract_selector: str | None = None
-    extract_kind: str = "text"  # text | list | table | identity
+    extract_kind: str = "text"  # text | list | table | identity | content
+    # 'content' = selector-free main-content extraction (boilerplate
+    # removal, operators.boilerplate) — the training-data crawl kind
     paginated: bool = False
     pagination_param: str = "page"
     pagination_max_pages: int = 2
@@ -217,7 +220,7 @@ class Crawler:
         # with the reference's empty-body semantics. ``fetch_failures``
         # injects failures for tests/replay: rows (url, fail_times) make the
         # first ``fail_times`` live attempts of that url fail.
-        known_kinds = {"text", "list", "table", "identity"}
+        known_kinds = {"text", "list", "table", "identity", "content"}
         for s in seeds:
             if s.extract_kind not in known_kinds:
                 raise ValueError(
@@ -2078,6 +2081,18 @@ class Crawler:
                     null_row.alias("row"),
                 )
             )
+        if "content" in kinds_present:
+            # selector-free boilerplate removal (operators.boilerplate) —
+            # the training-data crawl path: no per-site CSS, the
+            # text/link-density classifier finds the prose itself
+            parts.append(
+                df.filter(F.col("extract_kind") == "content").select(
+                    *keys,
+                    F.lit(0).alias("match_index"),
+                    main_content_udf(F.col("html")).alias("text"),
+                    null_row.alias("row"),
+                )
+            )
         if "list" in kinds_present:
             parts.append(
                 df.filter(F.col("extract_kind") == "list")
@@ -2319,7 +2334,7 @@ class Crawler:
         for r in rows:
             key = (r["seed_id"], r["instance_index"], r["pagination_index"])
             kind = kinds.get(r["seed_id"], "text")
-            if kind in ("text", "identity"):
+            if kind in ("text", "identity", "content"):
                 docs[key] = r["text"]
             else:
                 doc = docs.setdefault(key, [])
@@ -2346,7 +2361,7 @@ class Crawler:
         kinds = {s.seed_id: s.extract_kind for s in self.seeds}
         table_seeds = [sid for sid, k in kinds.items() if k == "table"]
         list_seeds = [sid for sid, k in kinds.items() if k == "list"]
-        text_seeds = [sid for sid, k in kinds.items() if k in ("text", "identity")]
+        text_seeds = [sid for sid, k in kinds.items() if k in ("text", "identity", "content")]
         parts = []
         if table_seeds:
             parts.append(

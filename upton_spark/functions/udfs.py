@@ -68,6 +68,16 @@ def decode_html_udf(html: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.StringType())
+def main_content_udf(html: pd.Series) -> pd.Series:
+    """Selector-free main-content extraction (operators.boilerplate):
+    kept leaf blocks of the jusText-style text/link-density classifier,
+    newline-joined — the extract_kind='content' training-data path."""
+    from upton_spark.operators.boilerplate import main_content
+
+    return pd.Series([main_content(_decode(h)) if h is not None else "" for h in html])
+
+
+@F.pandas_udf(T.StringType())
 def resolve_url_udf(href: pd.Series, base_url: pd.Series) -> pd.Series:
     """Nil-tolerant resolve (NULL href → NULL, invalid → NULL)."""
     return pd.Series([urlkit.resolve_url_or_none(h, b) for h, b in zip(href, base_url)])
