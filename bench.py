@@ -238,6 +238,9 @@ HEADLINE_QUERIES = [
     "cdc_chunks",
     "hits_planned_admission",  # r5: HITS scoring + closed-form admission
     "media_real_decode",  # r5: real png/gif/jpeg decode throughput
+    "main_content",  # r5: boilerplate removal (DOM classifier throughput)
+    "surt_keys",  # r5: web-archive sort keys (codegen)
+    "host_split",  # r5: host-disjoint splits (codegen)
 ]
 
 
