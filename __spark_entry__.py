@@ -1664,6 +1664,188 @@ def q_host_split(spark, sf_dir):
     )
 
 
+def q_anchor_stats(spark, sf_dir):
+    """Inlink anchor-text aggregation per link target
+    (operators.webgraph.anchor_text_stats): the synthetic link graph plus
+    deterministic anchor strings ('anchor-' || (src+3*dst) % 5), rolled up
+    to per-target inlinks / distinct-anchor count / most-frequent anchor
+    (ties → lexicographically smallest). The raw link list collapses to
+    (target, anchor) counts BEFORE the per-target window, so a mega-target
+    is bounded by its anchor vocabulary, not its inlink count. Oracle:
+    identical edges + the same two-level rollup as window CTEs."""
+    from upton_spark.operators.webgraph import anchor_text_stats, synth_link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    links = synth_link_graph(docs, fanout=3).withColumn(
+        "anchor",
+        F.concat(
+            F.lit("anchor-"),
+            F.pmod(F.col("src") + F.lit(3) * F.col("dst"), F.lit(5)).cast("string"),
+        ),
+    )
+    return (
+        anchor_text_stats(links, target_col="dst", anchor_col="anchor")
+        .select("target", "inlinks", "n_anchors", "top_anchor", "top_anchor_count")
+        .orderBy("target")
+    )
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture-index generation (operators.webgraph.cdx_index — the
+    public web-archive index format: SURT urlkey, 14-digit timestamp,
+    payload md5 digest, byte length, sorted by (urlkey, ts14)). Captures
+    are synthesized from documents (the surt_keys URL scheme + two
+    captures per url at deterministic second offsets, payload = text), so
+    the oracle replays every field: the SURT replay from the surt_keys
+    oracle, strftime for ts14, DuckDB md5/strlen for digest/length.
+    Map-only codegen + one final range sort — the same shape the public
+    sorted CDX shards are produced with."""
+    from upton_spark.operators.webgraph import cdx_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sub = F.element_at(
+        F.array(F.lit("www."), F.lit(""), F.lit("m."), F.lit("cdn.")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    url = F.concat(F.lit("http://"), sub, F.col("source"), F.lit("/d/"), F.col("doc_id"))
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+
+    def capture(extra_secs: int):
+        return docs.select(
+            url.alias("url"),
+            (
+                base
+                + F.expr(
+                    f"make_interval(0,0,0,0,0,0, cast(pmod(doc_id*7,50)+{extra_secs} as int))"
+                )
+            ).alias("warc_ts"),
+            F.col("text").cast("binary").alias("html"),
+        )
+
+    pages = capture(0).unionByName(capture(3600))
+    return cdx_index(pages).select("urlkey", "ts14", "url", "digest", "length")
+
+
+def q_text_normalize(spark, sf_dir):
+    """Training-corpus text normalization (operators.textops.
+    normalize_text): NFC unicode form (Arrow-batched unicodedata — the one
+    non-codegen step) → C0/DEL control strip → whitespace-run collapse +
+    trim → lowercase, in that fixed order. The input injects a decomposed
+    'Cafe'+U+0301 prefix, a BEL control and a tab/double-space run so every
+    stage does real work; the oracle replays the identical chain with
+    DuckDB's nfc_normalize + the same regexes (both engines implement
+    Unicode NFC, so the composed bytes agree)."""
+    from upton_spark.operators.textops import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # decomposed e + U+0301 (NFC must compose), a BEL control, a tab and
+    # double-space runs -- every normalization stage does real work
+    messy = F.concat(F.lit("Cafe\u0301\tDu \x07 Monde  "), F.col("text"))
+    return (
+        normalize_text(docs.withColumn("text", messy))
+        .select("doc_id", "norm_text")
+        .orderBy("doc_id")
+    )
+
+
+def q_sitemap_entries(spark, sf_dir):
+    """Per-URL sitemap entries with the sitemaps.org optional fields
+    (sources.sitemap.sitemap_entries): one synthesized sitemap.xml capture
+    per host listing that host's doc urls, priority present on 3 of 4
+    entries ((doc_id%9+1)/10, absent → protocol default 0.5) and lastmod
+    on doc_id%3==0. The <url> block split + per-field extracts are all
+    codegen regexps ((?s) spans newlines identically in Java regex and
+    RE2); the oracle regenerates the fields straight from doc_id."""
+    pages = _sitemap_priority_pages(spark, sf_dir)
+    from upton_spark.sources.sitemap import sitemap_entries
+
+    return (
+        sitemap_entries(pages)
+        .select("host", "url", F.round("priority", 6).alias("priority"), "lastmod")
+        .orderBy("host", "url")
+    )
+
+
+def q_sitemap_planned_admission(spark, sf_dir):
+    """Publisher-declared sitemap priorities wired into crawl admission —
+    the third planning input next to PageRank and HITS, and the only one
+    the site itself declares: sitemap_entries → sitemap_priorities
+    (negated micro-quantized, same adapter shape as pagerank_priorities)
+    → the Crawler's closed-form round assignment (per-host window ordered
+    by (priority, url), 10 tokens/host/round). The e2e Crawler wiring is
+    pinned by tests/test_planned_crawl.py::test_sitemap_priority_e2e; this
+    query replays the identical math so the oracle checks XML → priority →
+    schedule end-to-end."""
+    from upton_spark.sources.sitemap import sitemap_entries, sitemap_priorities
+
+    pages = _sitemap_priority_pages(spark, sf_dir)
+    prio = sitemap_priorities(sitemap_entries(pages))
+    docs = _t(spark, sf_dir, "documents")
+    fr = docs.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/d/"), F.col("doc_id")).alias(
+            "url"
+        ),
+    ).join(prio, "url")
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    return (
+        fr.withColumn(
+            "round_assigned",
+            F.floor((F.row_number().over(w) - 1) / 10).cast("long"),
+        )
+        .select("host", "url", "priority", "round_assigned")
+        .orderBy("host", "url")
+    )
+
+
+def _sitemap_priority_pages(spark, sf_dir):
+    """One sitemap.xml capture per host over the documents table: entries
+    '<url><loc>http://H/d/ID</loc>[<lastmod>…</lastmod>][<priority>0.P</priority>]</url>'
+    with lastmod on doc_id%3==0 and priority (doc_id%9+1)/10 omitted when
+    doc_id%4==0 (exercising the 0.5 protocol default). Deterministic in
+    doc_id so DuckDB regenerates the parsed fields without XML."""
+    docs = _t(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url>\n  <loc>http://"),
+        F.col("source"),
+        F.lit("/d/"),
+        F.col("doc_id"),
+        F.lit("</loc>"),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit("\n  <lastmod>2024-01-"),
+                F.lpad((F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("")
+        ).otherwise(
+            F.concat(
+                F.lit("\n  <priority>0."),
+                (F.pmod(F.col("doc_id"), F.lit(9)) + 1).cast("string"),
+                F.lit("</priority>"),
+            )
+        ),
+        F.lit("\n</url>"),
+    )
+    body = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>\n'),
+            F.concat_ws("\n", F.array_sort(F.collect_list(entry))),
+            F.lit("\n</urlset>"),
+        ).alias("body")
+    )
+    return body.select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/sitemap.xml")).alias("url"),
+        F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("warc_ts"),
+        F.col("body").cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+
 def q_planned_admission(spark, sf_dir):
     """The Crawler's PLANNED admission schedule as a pure query — the same
     math the wired crawl loop runs (crawler.py:_with_priority /
@@ -2069,6 +2251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "surt_keys": q_surt_keys,  # new in r5 (web-archive sort keys)
         "host_split": q_host_split,  # new in r5 (leakage-safe splits)
+        "anchor_stats": q_anchor_stats,  # new in r5 (inlink anchor-text rollup)
+        "cdx_index": q_cdx_index,  # new in r5 (web-archive capture index)
+        "text_normalize": q_text_normalize,  # new in r5 (NFC + ws/control/lower)
+        "sitemap_entries": q_sitemap_entries,  # new in r5 (priority/lastmod fields)
+        "sitemap_planned_admission": q_sitemap_planned_admission,  # new in r5
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
     })
@@ -2386,6 +2573,104 @@ _CANON_FILTER = (
 
 _WEBGRAPH_ORACLES = {
     "link_pagerank": None,  # filled lazily (generated)
+    "anchor_stats": """
+        WITH nodes AS (SELECT doc_id FROM documents),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT d.doc_id AS src,
+                   (d.doc_id*d.doc_id + 7*k.k*d.doc_id + k.k + 1) % nn.n AS dst
+            FROM nodes d CROSS JOIN nn CROSS JOIN (VALUES (0),(1),(2)) k(k)
+          ) WHERE src <> dst
+        ),
+        links AS (
+          SELECT dst AS target,
+                 'anchor-' || CAST((src + 3*dst) % 5 AS VARCHAR) AS anchor
+          FROM edges
+        ),
+        pa AS (
+          SELECT target, anchor, COUNT(*) AS cnt
+          FROM links GROUP BY target, anchor
+        ),
+        r AS (
+          SELECT target, anchor, cnt,
+                 row_number() OVER (
+                   PARTITION BY target ORDER BY cnt DESC, anchor) AS rn
+          FROM pa
+        )
+        SELECT target,
+               CAST(SUM(cnt) AS BIGINT) AS inlinks,
+               COUNT(*) AS n_anchors,
+               MAX(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+               MAX(CASE WHEN rn = 1 THEN cnt END) AS top_anchor_count
+        FROM r GROUP BY target ORDER BY target
+    """,
+    "cdx_index": """
+        WITH u AS (
+          SELECT doc_id, source, text,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'www.' WHEN 1 THEN '' WHEN 2 THEN 'm.'
+                   ELSE 'cdn.' END AS sub
+          FROM documents
+        ), caps AS (
+          SELECT doc_id, source, text, sub, e.x AS extra
+          FROM u CROSS JOIN (VALUES (0),(3600)) e(x)
+        ), b AS (
+          SELECT 'http://' || sub || source || '/d/' || doc_id AS url,
+                 regexp_replace(lower(sub || source), '^www\\.', '') AS h,
+                 '/d/' || doc_id AS path,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds((doc_id * 7) % 50 + extra) AS ts,
+                 text
+          FROM caps
+        )
+        SELECT array_to_string(list_reverse(string_split(h, '.')), ',')
+                 || ')' || path AS urlkey,
+               strftime(ts, '%Y%m%d%H%M%S') AS ts14,
+               url,
+               md5(text) AS digest,
+               CAST(strlen(text) AS BIGINT) AS length
+        FROM b ORDER BY urlkey, ts14
+    """,
+    "text_normalize": """
+        SELECT doc_id,
+               lower(trim(regexp_replace(regexp_replace(
+                 nfc_normalize('Cafe' || chr(769) || chr(9) || 'Du ' || chr(7)
+                               || ' Monde  ' || text),
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '\\s+', ' ', 'g'))) AS norm_text
+        FROM documents ORDER BY doc_id
+    """,
+    "sitemap_entries": """
+        WITH e AS (
+          SELECT lower(source) AS host,
+                 'http://' || source || '/d/' || doc_id AS url,
+                 CASE WHEN doc_id % 4 = 0 THEN CAST(0.5 AS DOUBLE)
+                      ELSE CAST((doc_id % 9) + 1 AS DOUBLE) / 10.0 END AS priority,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN '2024-01-' ||
+                           lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                      END AS lastmod
+          FROM documents
+        )
+        SELECT host, url, round(priority, 6) AS priority, lastmod
+        FROM e ORDER BY host, url
+    """,
+    "sitemap_planned_admission": """
+        WITH pr AS (
+          SELECT d.source AS host,
+                 'http://' || d.source || '/d/' || d.doc_id AS url,
+                 CAST(-round((CASE WHEN d.doc_id % 4 = 0 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST((d.doc_id % 9) + 1 AS DOUBLE) / 10.0 END)
+                      * 1000000) AS BIGINT) AS priority
+          FROM documents d
+        )
+        SELECT host, url, priority,
+               CAST(floor((row_number() OVER (
+                     PARTITION BY host ORDER BY priority, url) - 1)
+                    / 10) AS BIGINT) AS round_assigned
+        FROM pr ORDER BY host, url
+    """,
     "url_canonicalize": f"""
         WITH u AS (
           SELECT doc_id,

@@ -183,3 +183,43 @@ class TestPiiScrub:
         df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNormalizeText:
+    def test_stage_chain(self, spark):
+        from upton_spark.operators.textops import normalize_text
+
+        rows = [
+            # decomposed e + U+0301 -> NFC composes; BEL stripped; tab and
+            # space runs collapse; result lowercased + trimmed
+            (0, "Café\tDu \x07 Monde  HELLO"),
+            (1, None),
+            (2, "  already clean  "),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+        assert out[0] == "café du monde hello"
+        assert out[1] is None
+        assert out[2] == "already clean"
+
+    def test_form_none_is_pure_codegen(self, spark):
+        from upton_spark.operators.textops import normalize_text
+
+        df = spark.createDataFrame([(0, "A  B")], "doc_id long, text string")
+        res = normalize_text(df, form=None)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert res.collect()[0]["norm_text"] == "a b"
+
+    def test_flags_off_are_identity(self, spark):
+        from upton_spark.operators.textops import normalize_text
+
+        df = spark.createDataFrame([(0, "A\x07  B")], "doc_id long, text string")
+        res = normalize_text(
+            df,
+            form=None,
+            lowercase=False,
+            collapse_ws=False,
+            strip_controls=False,
+        )
+        assert res.collect()[0]["norm_text"] == "A\x07  B"

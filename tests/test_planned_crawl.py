@@ -321,3 +321,61 @@ def test_planned_crawl_kill_and_resume_identical(spark, pages, tmp_path):
         sorted((r["url"], r["status"]) for r in resumed.frontier.collect()),
     )
     assert got_key == ref_key
+
+
+def test_sitemap_priority_e2e(spark):
+    """Publisher-declared sitemap priorities wired into planned crawls the
+    way PageRank/HITS already are: per-host sitemap.xml captures →
+    sitemap_entries → sitemap_priorities → Crawler(url_priorities=...),
+    lineage proving the url each SITE marked priority=0.9 is fetched in
+    that host's first instance round (everything else defaults to the
+    protocol's 0.5 → fetches later)."""
+    from datetime import datetime
+
+    from upton_spark.sources.corpus import host_name, host_sizes, synth_pages, synth_seeds
+    from upton_spark.sources.sitemap import sitemap_entries, sitemap_priorities
+
+    sizes = host_sizes(3, 6)
+    # each host's sitemap promotes its LAST instance (DOM/default order
+    # would fetch it last) and leaves the rest at the 0.5 default
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h, n in enumerate(sizes):
+        entries = "".join(
+            f"<url><loc>http://{host_name(h)}/article_{i}.html</loc>"
+            + (f"<priority>0.9</priority>" if i == n - 1 else "")
+            + "</url>"
+            for i in range(n)
+        )
+        rows.append(
+            (
+                f"http://{host_name(h)}/sitemap.xml",
+                t0,
+                f"<urlset>{entries}</urlset>".encode(),
+                None,
+                None,
+            )
+        )
+    sitemaps = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    pages = synth_pages(spark, n_hosts=3, instances_per_host=6, page_size=50)
+    pages = pages.unionByName(sitemaps).cache()
+
+    prio = sitemap_priorities(sitemap_entries(sitemaps))
+    result = Crawler(
+        spark,
+        pages,
+        synth_seeds(3, 6, sleep_time=30.0),  # 1 token/host/round
+        round_budget_s=30.0,
+        url_priorities=prio,
+    ).crawl()
+
+    fr = {r["url"]: r["first_round"] for r in result.urls_seen.collect()}
+    for h, n in enumerate(sizes):
+        urls = [f"http://{host_name(h)}/article_{i}.html" for i in range(n)]
+        top = urls[n - 1]
+        host_first = min(fr[u] for u in urls)
+        assert fr[top] == host_first, (h, top, {u: fr[u] for u in urls})
+        # 1 token/host/round spread the remaining instances across rounds
+        assert len({fr[u] for u in urls}) == n

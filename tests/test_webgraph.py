@@ -346,3 +346,105 @@ def test_surt_key_forms_and_site_locality(spark):
     ex = [s for s in ordered if s.startswith("com,example")]
     lo = ordered.index(ex[0])
     assert ordered[lo : lo + len(ex)] == ex
+
+
+def test_anchor_text_stats_counts_and_tiebreak(spark):
+    from upton_spark.operators.webgraph import anchor_text_stats
+
+    links = spark.createDataFrame(
+        [
+            # t1: 'beta' x2, 'alpha' x2 -> tie broken to lexicographically
+            # smallest ('alpha'); 5 inlinks, 3 distinct anchors
+            ("s1", "t1", "beta"),
+            ("s2", "t1", "beta"),
+            ("s3", "t1", "alpha"),
+            ("s4", "t1", "alpha"),
+            ("s5", "t1", "zeta"),
+            # t2: single inlink
+            ("s1", "t2", "only"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    got = {
+        r["target"]: r for r in anchor_text_stats(links).collect()
+    }
+    assert got["t1"]["inlinks"] == 5
+    assert got["t1"]["n_anchors"] == 3
+    assert got["t1"]["top_anchor"] == "alpha"
+    assert got["t1"]["top_anchor_count"] == 2
+    assert got["t2"]["inlinks"] == 1
+    assert got["t2"]["top_anchor"] == "only"
+
+
+def test_cdx_index_fields_and_sort(spark):
+    import hashlib
+
+    from upton_spark.operators.webgraph import cdx_index
+
+    t0 = datetime(2024, 1, 1, 12, 30, 45)
+    t1 = datetime(2024, 1, 1, 9, 0, 0)
+    pages = spark.createDataFrame(
+        [
+            ("http://www.B-site.com/x", t0, b"hello"),
+            ("http://a-site.com/y", t1, b"world!!"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    rows = cdx_index(pages).collect()
+    # sorted by urlkey: a-site before b-site (www. stripped from the key)
+    assert [r["urlkey"] for r in rows] == ["com,a-site)/y", "com,b-site)/x"]
+    assert rows[0]["ts14"] == "20240101090000"
+    assert rows[1]["ts14"] == "20240101123045"
+    assert rows[1]["url"] == "http://www.B-site.com/x"  # original url kept
+    assert rows[0]["digest"] == hashlib.md5(b"world!!").hexdigest()
+    assert rows[0]["length"] == 7
+    assert rows[1]["length"] == 5
+
+
+def test_sitemap_entries_priority_default_and_lastmod(spark):
+    from upton_spark.sources.sitemap import sitemap_entries
+
+    t0 = datetime(2024, 1, 1)
+    xml = (
+        '<?xml version="1.0"?>\n<urlset>\n'
+        "<url>\n  <loc>http://a.com/p1</loc>\n"
+        "  <lastmod>2024-03-05</lastmod>\n"
+        "  <priority>0.8</priority>\n</url>\n"
+        "<url><loc>http://a.com/p2</loc></url>\n"  # no optional fields
+        "<url><loc>http://a.com/p3</loc><priority>0.2</priority></url>\n"
+        "</urlset>"
+    )
+    pages = spark.createDataFrame(
+        [_page("http://a.com/sitemap.xml", t0, xml)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["url"]: r for r in sitemap_entries(pages).collect()}
+    assert set(got) == {"http://a.com/p1", "http://a.com/p2", "http://a.com/p3"}
+    assert got["http://a.com/p1"]["priority"] == 0.8
+    assert got["http://a.com/p1"]["lastmod"] == "2024-03-05"
+    assert got["http://a.com/p2"]["priority"] == 0.5  # protocol default
+    assert got["http://a.com/p2"]["lastmod"] is None
+    assert got["http://a.com/p3"]["priority"] == 0.2
+    assert all(r["host"] == "a.com" for r in got.values())
+
+
+def test_sitemap_priorities_micro_quantized(spark):
+    from upton_spark.sources.sitemap import sitemap_entries, sitemap_priorities
+
+    t0 = datetime(2024, 1, 1)
+    xml = (
+        "<urlset><url><loc>http://a.com/hi</loc><priority>0.9</priority></url>"
+        "<url><loc>http://a.com/lo</loc><priority>0.1</priority></url></urlset>"
+    )
+    pages = spark.createDataFrame(
+        [_page("http://a.com/sitemap.xml", t0, xml)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {
+        r["url"]: r["priority"]
+        for r in sitemap_priorities(sitemap_entries(pages)).collect()
+    }
+    # negated micro-quantized: higher sitemap priority -> lower (earlier) value
+    assert got["http://a.com/hi"] == -900000
+    assert got["http://a.com/lo"] == -100000
+    assert got["http://a.com/hi"] < got["http://a.com/lo"]

@@ -430,3 +430,62 @@ def c4_clean(df: DataFrame, text_col: str = "text", min_words: int = 3) -> DataF
         .withColumn("c4_kept", doc_ok)
         .withColumn("clean_text", F.array_join(kept, "\n"))
     )
+
+
+# --------------------------------------------------------------------------
+# unicode / whitespace normalization
+# --------------------------------------------------------------------------
+
+# C0 controls (minus \t \n \r, which are whitespace) + DEL — the bytes a
+# training corpus never wants verbatim.  Written out explicitly so the same
+# class compiles identically under Java regex (Spark) and RE2 (DuckDB).
+_CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    form: str | None = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+    strip_controls: bool = True,
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Training-corpus text normalization — the step every public pipeline
+    (C4, CCNet, Gopher, DOLMA) runs before dedup/tokenization so that
+    byte-different renderings of the same text hash the same: Unicode
+    normal form (default NFC — composed, the web's dominant form), C0/DEL
+    control stripping, whitespace-run collapsing + trim, and lowercasing,
+    applied in that fixed order so the result is reproducible across
+    engines (the DuckDB oracle replays the identical chain via
+    ``nfc_normalize`` + the same regexes).
+
+    Scale shape: everything except the Unicode form is built-in
+    ``regexp_replace``/``lower``/``trim`` — map-only whole-stage codegen.
+    The Unicode form is the one step Spark has no built-in for; it runs as
+    an Arrow-batched pandas UDF over ``unicodedata.normalize`` (pass
+    ``form=None`` to skip it and stay 100% codegen, e.g. when an upstream
+    ingest already normalized). Map-only either way: no shuffle, no
+    driver, order-independent per row.
+    """
+    col: Column = F.col(text_col)
+    if form is not None:
+        import unicodedata
+
+        nf = str(form)
+
+        @F.pandas_udf(T.StringType())
+        def _norm(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if t is None else unicodedata.normalize(nf, t) for t in s]
+            )
+
+        col = _norm(col)
+    if strip_controls:
+        col = F.regexp_replace(col, _CONTROL_CLASS, "")
+    if collapse_ws:
+        col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out_col, col)

@@ -29,7 +29,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -118,6 +118,78 @@ def surt_keys(pages: DataFrame, url_col: str = "url") -> DataFrame:
     """``pages`` + a ``surt`` column (see :func:`surt_key`) — the sort /
     range-partition key for site-local processing. Map-only codegen."""
     return pages.withColumn("surt", surt_key(F.col(url_col)))
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "html",
+) -> DataFrame:
+    """Crawled captures → a CDX-shaped capture index (the public
+    CDX / CDXJ format Heritrix, OpenWayback and Common Crawl publish
+    alongside WARCs): one row per capture with ``urlkey`` (the SURT sort
+    key), ``ts14`` (the 14-digit yyyyMMddHHmmss capture timestamp),
+    original ``url``, ``digest`` (md5 hex of the raw payload bytes — the
+    dedup/revisit key) and ``length`` (payload byte count), sorted by
+    (urlkey, ts14) so a site's capture history is one contiguous range.
+
+    Entirely built-in expressions (surt regexps, ``date_format``, ``md5``,
+    ``length`` on binary) — map-only whole-stage codegen plus the final
+    range-partitioned sort, which is exactly how the public CDX files are
+    produced (sorted shards, merged by key range). At 100 TB the sort is a
+    range exchange on ``urlkey``; everything upstream is scan-local.
+    Reference scope: the reference stashes pages by MD5 of the url
+    (lib/upton/downloader.rb:126-128) with no capture index at all —
+    this is the web-archive-scale replacement for "is this page stashed".
+    """
+    return (
+        pages.select(
+            surt_key(F.col(url_col)).alias("urlkey"),
+            F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
+            F.col(url_col).alias("url"),
+            F.md5(F.col(payload_col).cast("binary")).alias("digest"),
+            F.length(F.col(payload_col).cast("binary")).cast("long").alias("length"),
+        )
+        .orderBy("urlkey", "ts14")
+    )
+
+
+def anchor_text_stats(
+    links: DataFrame,
+    target_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Inlink anchor-text aggregation per link target — the classic
+    web-corpus signal (anchor text describes the TARGET page better than
+    the page itself; search indexes and anchor-text training corpora, e.g.
+    the public DOLMA / MS MARCO anchor sets, are built exactly this way).
+
+    Input: one row per link (``target_col``, ``anchor_col``); anchors come
+    from the crawl's own link extraction (href + anchor text, SURVEY §2
+    row 12). Output per target: ``inlinks`` (total inlink count),
+    ``n_anchors`` (distinct anchor strings), ``top_anchor`` /
+    ``top_anchor_count`` (most frequent anchor, ties broken by the
+    lexicographically smallest anchor so the result is deterministic).
+
+    Scale shape: the raw link list never carries through a window — links
+    are first collapsed to (target, anchor) counts (partial-agg shuffle on
+    the composite key, so a mega-target's rows still spread across
+    reducers until the collapse), then the per-target window and final
+    rollup run over the collapsed counts, which are bounded by distinct
+    anchor vocabulary per target, not by inlink count. No Python anywhere.
+    """
+    per_anchor = links.groupBy(
+        F.col(target_col).alias("target"), F.col(anchor_col).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("target").orderBy(F.col("cnt").desc(), F.col("anchor"))
+    ranked = per_anchor.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("target").agg(
+        F.sum("cnt").alias("inlinks"),
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.max(F.when(F.col("_rn") == 1, F.col("anchor"))).alias("top_anchor"),
+        F.max(F.when(F.col("_rn") == 1, F.col("cnt"))).alias("top_anchor_count"),
+    )
 
 
 # --------------------------------------------------------------------------

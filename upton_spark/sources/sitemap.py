@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 _LOC_RE = r"<loc>\s*([^<\s][^<]*?)\s*</loc>"
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_PRIORITY_RE = r"<priority>\s*([0-9.]+)\s*</priority>"
+_LASTMOD_RE = r"<lastmod>\s*([^<\s]+)\s*</lastmod>"
 
 
 def _latest_sitemap_bodies(pages: DataFrame, suffix: str) -> DataFrame:
@@ -52,6 +55,52 @@ def _locs(bodies: DataFrame) -> DataFrame:
         F.explode(
             F.regexp_extract_all(F.col("body"), F.lit(_LOC_RE), F.lit(1))
         ).alias("loc"),
+    )
+
+
+def sitemap_entries(pages: DataFrame, suffix: str = "/sitemap.xml") -> DataFrame:
+    """Per-URL sitemap entries WITH the sitemaps.org optional fields:
+    (host, url, priority, lastmod). ``<url>…</url>`` blocks are split with
+    one ``regexp_extract_all`` + ``explode`` (the ``(?s)`` flag spans
+    newlines in both Java regex and RE2, so the same pattern replays in
+    the DuckDB oracle); loc / priority / lastmod are per-block
+    ``regexp_extract``s — all whole-stage codegen, no Python, no driver.
+
+    ``priority`` defaults to 0.5 exactly as the protocol specifies when
+    the tag is absent; ``lastmod`` stays a raw string (the protocol allows
+    date-only and full W3C datetime forms — parsing is the caller's
+    policy). Feed the result to :func:`sitemap_priorities` to turn
+    publisher-declared priorities into crawl-admission order.
+    """
+    bodies = _latest_sitemap_bodies(pages, suffix)
+    blocks = bodies.select(
+        "host",
+        F.explode(
+            F.regexp_extract_all(F.col("body"), F.lit(_URL_BLOCK_RE), F.lit(1))
+        ).alias("block"),
+    )
+    loc = F.regexp_extract(F.col("block"), _LOC_RE, 1)
+    pr = F.regexp_extract(F.col("block"), _PRIORITY_RE, 1)
+    lm = F.regexp_extract(F.col("block"), _LASTMOD_RE, 1)
+    return blocks.select(
+        "host",
+        loc.alias("url"),
+        F.when(pr == "", F.lit(0.5)).otherwise(pr.cast("double")).alias("priority"),
+        F.when(lm == "", F.lit(None).cast("string")).otherwise(lm).alias("lastmod"),
+    ).filter(F.col("url") != "")
+
+
+def sitemap_priorities(entries: DataFrame) -> DataFrame:
+    """sitemaps.org ``<priority>`` (0.0–1.0, higher = fetch first) → the
+    Crawler's ``url_priorities`` table (url, priority:long) where LOWER
+    fetches first: negated micro-quantized, the same monotone map-side
+    transform as ``webgraph.pagerank_priorities`` /
+    ``authority_priorities`` (no global sort at web scale). Publisher
+    priorities are the third planning input next to PageRank and HITS —
+    the only one the site itself declares."""
+    return entries.select(
+        "url",
+        (-F.round(F.col("priority") * 1e6)).cast("long").alias("priority"),
     )
 
 
