@@ -241,6 +241,9 @@ HEADLINE_QUERIES = [
     "main_content",  # r5: boilerplate removal (DOM classifier throughput)
     "surt_keys",  # r5: web-archive sort keys (codegen)
     "host_split",  # r5: host-disjoint splits (codegen)
+    "anchor_stats",  # r5: inlink anchor rollup (agg-before-window)
+    "cdx_index",  # r5: capture index (codegen + one range sort)
+    "text_normalize",  # r5: NFC + control/ws/lower normalization
 ]
 
 

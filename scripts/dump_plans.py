@@ -117,6 +117,34 @@ CLAIMS = {
         "aggregate — never row-at-a-time Python, nothing pairwise",
         ["MapInPandas", "!BatchEvalPython", "!CartesianProduct"],
     ),
+    "anchor_stats": (
+        "links collapse to (target, anchor) partial-agg counts BEFORE the "
+        "per-target window — the window input is bounded by anchor "
+        "vocabulary, not inlink count; no Python, nothing pairwise",
+        ["HashAggregate", "Window", "!BatchEvalPython", "!CartesianProduct"],
+    ),
+    "cdx_index": (
+        "CDX generation is map-only codegen (surt regexps, date_format, "
+        "md5) + ONE final range sort — no Python, nothing pairwise",
+        ["rangepartitioning", "!BatchEvalPython", "!ArrowEvalPython",
+         "!CartesianProduct"],
+    ),
+    "text_normalize": (
+        "the NFC step is the single Arrow stage; control strip / ws "
+        "collapse / lowercase stay codegen — never row-at-a-time Python, "
+        "no shuffle besides the contract ORDER BY",
+        ["ArrowEvalPython", "!BatchEvalPython"],
+    ),
+    "sitemap_entries": (
+        "url-block split + per-field extracts are codegen regexps over the "
+        "dedup-latest sitemap body — no Python eval",
+        ["!BatchEvalPython", "!ArrowEvalPython"],
+    ),
+    "sitemap_planned_admission": (
+        "publisher priorities join the frontier then the per-host round "
+        "window — no Python, nothing pairwise",
+        ["Window", "!BatchEvalPython", "!CartesianProduct"],
+    ),
 }
 
 
