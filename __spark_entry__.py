@@ -1846,6 +1846,73 @@ def _sitemap_priority_pages(spark, sf_dir):
     )
 
 
+def q_meta_refresh(spark, sf_dir):
+    """Client-side redirect extraction (operators.webgraph.
+    meta_refresh_redirects): pages synthesized from documents carry a
+    ``<meta http-equiv=refresh>`` tag on 2 of 3 docs — doc_id%3==0 an
+    ABSOLUTE target in shouty unquoted attributes, %3==1 a ROOT-RELATIVE
+    target in single quotes (resolved against the capture url through the
+    urlkit resolve goldens), %3==2 no tag (no edge). Two codegen regexps +
+    one Arrow resolve batch, map-only; the oracle regenerates both edge
+    forms straight from doc_id."""
+    from upton_spark.operators.webgraph import meta_refresh_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.concat(F.lit("http://"), F.col("source"), F.lit("/p/"), F.col("doc_id"))
+    tag = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+            F.concat(
+                F.lit('<META HTTP-EQUIV=REFRESH CONTENT="0; URL=http://hub.example/d/'),
+                F.col("doc_id"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+            F.concat(
+                F.lit("<meta http-equiv='refresh' content='5; url=/r/"),
+                F.col("doc_id"),
+                F.lit("'>"),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        src.alias("url"),
+        F.concat(F.lit("<html><head>"), tag, F.lit("</head><body>x</body></html>"))
+        .cast("binary")
+        .alias("html"),
+    )
+    return meta_refresh_redirects(pages).select("src", "dst").orderBy("src")
+
+
+def q_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution by pointer doubling (operators.webgraph.
+    resolve_redirects — log2(max_hops) self-joins, not a per-hop loop):
+    deterministic chains doc_id → doc_id-1 within every block of 8 (heads
+    doc_id%8==0 are terminal, so chain lengths run 1..7) plus one literal
+    3-cycle. Output per src: final_url / exact hops, or NULL +
+    unresolved=true for the cycle rows (loud, never wrong). Oracle: a
+    DuckDB recursive CTE walks the same map one hop at a time — linear
+    walk and doubling must land on identical terminals and hop counts."""
+    from upton_spark.operators.webgraph import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.filter(F.pmod(F.col("doc_id"), F.lit(8)) != 0).select(
+        F.col("doc_id").cast("string").alias("src"),
+        (F.col("doc_id") - 1).cast("string").alias("dst"),
+    )
+    cyc = spark.createDataFrame(
+        [("c0", "c1"), ("c1", "c2"), ("c2", "c0")], "src string, dst string"
+    )
+    return (
+        resolve_redirects(chain.unionByName(cyc), max_hops=8)
+        .select("src", "final_url", "hops", "unresolved")
+        .orderBy("src")
+    )
+
+
 def q_planned_admission(spark, sf_dir):
     """The Crawler's PLANNED admission schedule as a pure query — the same
     math the wired crawl loop runs (crawler.py:_with_priority /
@@ -2256,6 +2323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,  # new in r5 (NFC + ws/control/lower)
         "sitemap_entries": q_sitemap_entries,  # new in r5 (priority/lastmod fields)
         "sitemap_planned_admission": q_sitemap_planned_admission,  # new in r5
+        "meta_refresh": q_meta_refresh,  # new in r5 (client-side redirect edges)
+        "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
     })
@@ -2670,6 +2739,47 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "meta_refresh": """
+        WITH e AS (
+          SELECT 'http://' || source || '/p/' || doc_id AS src,
+                 CASE CAST(doc_id % 3 AS INT)
+                   WHEN 0 THEN 'http://hub.example/d/' || doc_id
+                   WHEN 1 THEN 'http://' || source || '/r/' || doc_id
+                 END AS dst
+          FROM documents
+        )
+        SELECT src, dst FROM e WHERE dst IS NOT NULL ORDER BY src
+    """,
+    "redirect_chains": """
+        WITH RECURSIVE e AS (
+          SELECT CAST(doc_id AS VARCHAR) AS src,
+                 CAST(doc_id - 1 AS VARCHAR) AS dst
+          FROM documents WHERE doc_id % 8 <> 0
+          UNION ALL
+          SELECT * FROM (VALUES ('c0','c1'),('c1','c2'),('c2','c0')) v(src, dst)
+        ),
+        m AS (SELECT src, MIN(dst) AS next FROM e GROUP BY src),
+        walk(src, next, hops) AS (
+          SELECT src, next, 1 FROM m
+          UNION ALL
+          SELECT w.src, m.next, w.hops + 1
+          FROM walk w JOIN m ON w.next = m.src
+          WHERE w.hops < 16
+        ),
+        last AS (
+          SELECT src, next, hops,
+                 row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+          FROM walk
+        )
+        SELECT l.src,
+               CASE WHEN m2.src IS NULL THEN l.next END AS final_url,
+               CASE WHEN m2.src IS NULL THEN CAST(l.hops AS BIGINT) END AS hops,
+               (m2.src IS NOT NULL) AS unresolved
+        FROM last l
+        LEFT JOIN (SELECT DISTINCT src FROM m) m2 ON l.next = m2.src
+        WHERE l.rn = 1
+        ORDER BY l.src
     """,
     "url_canonicalize": f"""
         WITH u AS (

@@ -244,6 +244,7 @@ HEADLINE_QUERIES = [
     "anchor_stats",  # r5: inlink anchor rollup (agg-before-window)
     "cdx_index",  # r5: capture index (codegen + one range sort)
     "text_normalize",  # r5: NFC + control/ws/lower normalization
+    "redirect_chains",  # r5: pointer-doubling chain resolution
 ]
 
 

@@ -145,6 +145,17 @@ CLAIMS = {
         "window — no Python, nothing pairwise",
         ["Window", "!BatchEvalPython", "!CartesianProduct"],
     ),
+    "meta_refresh": (
+        "redirect extraction is two codegen regexps + ONE Arrow resolve "
+        "batch — map-only (the lone Exchange is the contract ORDER BY), "
+        "never row-at-a-time Python",
+        ["ArrowEvalPython", "!BatchEvalPython"],
+    ),
+    "redirect_chains": (
+        "pointer doubling: a fixed log2(max_hops) join ladder, no Python, "
+        "nothing pairwise",
+        ["!BatchEvalPython", "!ArrowEvalPython", "!CartesianProduct"],
+    ),
 }
 
 

@@ -379,3 +379,36 @@ def test_sitemap_priority_e2e(spark):
         assert fr[top] == host_first, (h, top, {u: fr[u] for u in urls})
         # 1 token/host/round spread the remaining instances across rounds
         assert len({fr[u] for u in urls}) == n
+
+
+def test_redirect_map_rewrites_before_admission(spark):
+    """A known redirect table (resolve_redirects output) wired into the
+    Crawler rewrites frontier urls to their final targets BEFORE the
+    seen-set / admission: the hop url never enters urls_seen, the final
+    page's content is what gets extracted for that instance slot, and
+    unresolved (cyclic) map rows leave their url untouched."""
+    from upton_spark.operators.webgraph import resolve_redirects
+    from upton_spark.sources.corpus import host_name, synth_pages, synth_seeds
+
+    pages = synth_pages(spark, n_hosts=2, instances_per_host=4, page_size=50).cache()
+    h0 = host_name(0)
+    hop, final = f"http://{h0}/article_1.html", f"http://{h0}/article_2.html"
+    cyclic = f"http://{h0}/article_3.html"
+    edges = spark.createDataFrame(
+        [(hop, final), (cyclic, cyclic)], "src string, dst string"
+    )
+    rmap = resolve_redirects(edges).select("src", "final_url")
+
+    result = Crawler(
+        spark, pages, synth_seeds(2, 4), redirect_map=rmap
+    ).crawl()
+    seen = {r["url"] for r in result.urls_seen.collect()}
+    assert hop not in seen  # rewritten before the seen-set
+    assert final in seen
+    assert cyclic in seen  # unresolved row -> original url kept
+
+    rows = result.extracted.filter(F.col("url") == final).collect()
+    # instance slots 1 AND 2 both land on the final page's content
+    assert len(rows) == 2
+    assert all(r["text"].startswith("Article 0-2:") for r in rows)
+    assert not result.extracted.filter(F.col("url") == hop).count()

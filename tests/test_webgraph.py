@@ -448,3 +448,82 @@ def test_sitemap_priorities_micro_quantized(spark):
     assert got["http://a.com/hi"] == -900000
     assert got["http://a.com/lo"] == -100000
     assert got["http://a.com/hi"] < got["http://a.com/lo"]
+
+
+def test_meta_refresh_redirects_forms(spark):
+    from upton_spark.operators.webgraph import meta_refresh_redirects
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # absolute target, uppercase attrs, unquoted value
+        ("http://a.com/1", '<html><META HTTP-EQUIV=REFRESH CONTENT="0; URL=http://b.com/x"></html>'),
+        # root-relative target resolves against the capture url
+        ("http://a.com/2", "<meta http-equiv='refresh' content='5; url=/next'>"),
+        # pure reload (no url=) -> no edge
+        ("http://a.com/3", '<meta http-equiv="refresh" content="30">'),
+        # no refresh tag at all -> no edge
+        ("http://a.com/4", "<html><body>hi</body></html>"),
+        # first tag wins
+        (
+            "http://a.com/5",
+            '<meta http-equiv="refresh" content="0;url=/first">'
+            '<meta http-equiv="refresh" content="0;url=/second">',
+        ),
+        # self-redirect dropped
+        ("http://a.com/6", '<meta http-equiv="refresh" content="0;url=http://a.com/6">'),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t0, h.encode(), None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["src"]: r["dst"] for r in meta_refresh_redirects(pages).collect()}
+    assert got == {
+        "http://a.com/1": "http://b.com/x",
+        "http://a.com/2": "http://a.com/next",
+        "http://a.com/5": "http://a.com/first",
+    }
+
+
+def test_resolve_redirects_chains_cycles_and_dups(spark):
+    from upton_spark.operators.webgraph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [
+            # chain a -> b -> c -> T (3 hops)
+            ("a", "b"), ("b", "c"), ("c", "T"),
+            # 1-hop
+            ("x", "Y"),
+            # 3-cycle
+            ("c0", "c1"), ("c1", "c2"), ("c2", "c0"),
+            # self-loop
+            ("s", "s"),
+            # duplicate srcs collapse to MIN dst ('A' < 'B')
+            ("d", "B"), ("d", "A"),
+        ],
+        "src string, dst string",
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert (got["a"]["final_url"], got["a"]["hops"], got["a"]["unresolved"]) == ("T", 3, False)
+    assert (got["b"]["final_url"], got["b"]["hops"]) == ("T", 2)
+    assert (got["x"]["final_url"], got["x"]["hops"]) == ("Y", 1)
+    assert (got["d"]["final_url"], got["d"]["hops"]) == ("A", 1)
+    for cyc in ("c0", "c1", "c2", "s"):
+        assert got[cyc]["unresolved"] is True
+        assert got[cyc]["final_url"] is None and got[cyc]["hops"] is None
+
+
+def test_resolve_redirects_long_chain_overflow_flagged(spark):
+    from upton_spark.operators.webgraph import resolve_redirects
+
+    # chain of 9 hops; max_hops=4 rounds to 4 doubling rounds? no: 4 -> 2
+    # rounds -> resolves chains up to 4 hops; 9 > 4 -> unresolved
+    n = 9
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(n)], "src string, dst string"
+    )
+    got = {r["src"]: r for r in resolve_redirects(edges, max_hops=4).collect()}
+    assert got[f"n{n-1}"]["final_url"] == f"n{n}"  # last edge resolves
+    assert got["n0"]["unresolved"] is True  # 9 hops > 4 -> flagged, not wrong
+    # with a big enough bound the same chain fully resolves
+    full = {r["src"]: r for r in resolve_redirects(edges, max_hops=16).collect()}
+    assert (full["n0"]["final_url"], full["n0"]["hops"]) == (f"n{n}", n)

@@ -192,6 +192,7 @@ class Crawler:
         blocklist_hosts: DataFrame | None = None,
         blocklist_url_patterns: list[str] | None = None,
         fetch_fn: Callable[[str], bytes | str | None] | None = None,
+        redirect_map: DataFrame | None = None,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -264,10 +265,19 @@ class Crawler:
         # All three are uniform per host / static per url, so the one-shot
         # closed-form schedule stays exact (no new _oneshot_eligible
         # disqualifiers; equivalence pinned by test_planned_crawl_*).
+        # - ``redirect_map`` (src, final_url): a known redirect table (e.g.
+        #   webgraph.resolve_redirects over the previous crawl's
+        #   meta_refresh_redirects edges) rewrites frontier urls to their
+        #   final targets BEFORE dedup/admission — the seen-set dedups on
+        #   finals, politeness charges the final host, and the fetch never
+        #   wastes a token on a hop page. Unresolved rows (final_url NULL)
+        #   are ignored (the original url is kept). Static per url, so the
+        #   one-shot schedule stays exact.
         self.url_priorities = url_priorities
         self.host_budgets = host_budgets
         self.blocklist_hosts = blocklist_hosts
         self.blocklist_url_patterns = list(blocklist_url_patterns or [])
+        self.redirect_map = redirect_map
         # ``fetch_fn``: the LIVE-FETCH transport seam (SURVEY §2.1's
         # download_from_resource!, downloader.rb:50-68). None (default) =
         # corpus replay: ``pages`` models the web and a "live fetch" is the
@@ -1370,6 +1380,25 @@ class Crawler:
     # (seed_id, instance_index) tie-breakers every admission window carries
     _UNRANKED_PRIORITY = 1 << 40
 
+    def _with_redirects(self, df: DataFrame) -> DataFrame:
+        """Rewrite frontier urls through the known ``redirect_map`` before
+        dedup/admission. Min-per-src first (duplicate srcs in a user table
+        must not fan out frontier rows, same rule as _with_priority);
+        unresolved map rows (NULL final_url) drop out so cycles keep the
+        original url and surface as a normal empty-body fetch."""
+        if self.redirect_map is None:
+            return df
+        rm = (
+            self.redirect_map.filter(F.col("final_url").isNotNull())
+            .groupBy(F.col("src").alias("url"))
+            .agg(F.min("final_url").alias("_final"))
+        )
+        return (
+            df.join(rm, "url", "left")
+            .withColumn("url", F.coalesce("_final", "url"))
+            .drop("_final")
+        )
+
     def _with_priority(self, df: DataFrame) -> DataFrame:
         """Frontier priority column: the reference's implicit DOM order
         (instance_index) unless a ``url_priorities`` table overrides it."""
@@ -1446,7 +1475,7 @@ class Crawler:
             explicit_rows, schema="seed_id int, instance_index long, url string"
         )
         frontier = (
-            from_index.unionByName(explicit)
+            self._with_redirects(from_index.unionByName(explicit))
             .withColumn("pagination_index", F.lit(0))
             .withColumn("host", host_col(F.col("url")))
             .withColumn("depth", F.lit(1))

@@ -523,3 +523,108 @@ def revisit_intervals(
         .cast("long")
     )
     return out.select(url_col, "status", interval.alias("interval_hours"))
+
+
+# --------------------------------------------------------------------------
+# redirects: meta-refresh extraction + chain resolution
+# --------------------------------------------------------------------------
+
+# <meta http-equiv="refresh" content="N; url=TARGET"> — the client-side
+# redirect form visible in a body-only corpus (WARC 3xx Location headers
+# live outside the pages schema). Case-insensitive; attribute order free.
+_META_REFRESH_TAG_RE = r"(?i)<meta\b[^>]*http-equiv\s*=\s*[\"']?refresh[\"']?[^>]*>"
+_REFRESH_URL_RE = r"(?i)content\s*=\s*[\"']?\s*[0-9.]*\s*;\s*url\s*=\s*([^\"'>\s]+)"
+
+
+def meta_refresh_redirects(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Client-side ``<meta http-equiv=refresh>`` redirects extracted from
+    captured html → one (src, dst) edge per redirecting page. The tag and
+    its ``url=`` target are two codegen ``regexp_extract``s over the
+    decoded body (first tag wins — browser behavior); relative targets
+    resolve against the capture url through the same Arrow resolve UDF
+    link extraction uses (urlkit.resolve_url goldens), absolute targets
+    pass through. Pages without a refresh target produce no edge; a
+    refresh with no url= part (a pure reload) is dropped too.
+
+    Scale shape: map-only — scan → two regexps → one Arrow batch for the
+    resolve; no shuffle, no driver. Feed the result to
+    :func:`resolve_redirects` to collapse chains, or negate into a
+    blocklist (redirect pages carry no extractable content).
+    """
+    from upton_spark.functions.udfs import resolve_url_udf
+
+    body = F.col(html_col).cast("string")
+    tag = F.regexp_extract(body, _META_REFRESH_TAG_RE, 0)
+    raw = F.regexp_extract(tag, _REFRESH_URL_RE, 1)
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.when(raw == "", None).otherwise(raw).alias("_raw"),
+        )
+        .filter(F.col("_raw").isNotNull())
+        .select("src", resolve_url_udf(F.col("_raw"), F.col("src")).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """Redirect-CHAIN resolution by pointer doubling: each round every
+    pointer jumps to its pointee's pointee, so a chain of length L
+    collapses in ceil(log2(L)) self-joins instead of L sequential ones —
+    at web scale (Common Crawl publishes ~1% of fetches as redirects,
+    chains of 3-5 are routine) that is ~5 shuffles total, not 32.
+
+    Input: one (src, dst) edge per redirecting url (duplicate srcs collapse
+    to the MIN dst so the map is functional and deterministic). Output per
+    src: ``final_url`` (the first non-redirecting url on the chain),
+    ``hops`` (exact edges traversed), ``unresolved`` (true for cycles and
+    for chains longer than ``max_hops`` — final_url/hops NULL there, loud
+    in the data rather than silently wrong). ``max_hops`` rounds up to the
+    next power of two (the doubling granularity).
+
+    100-TB shape: log2(max_hops) key-partitioned self-joins (AQE handles
+    the shrinking build side as chains resolve early) + one final
+    broadcast-able semi marker join. No iteration-unbounded driver loop,
+    no Python.
+    """
+    import math
+
+    m = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("next"))
+    )
+    cur = m.withColumn("hops", F.lit(1).cast("long"))
+    rounds = max(1, math.ceil(math.log2(max(2, int(max_hops)))))
+    for _ in range(rounds):
+        b = cur.select(
+            F.col("src").alias("_b_src"),
+            F.col("next").alias("_b_next"),
+            F.col("hops").alias("_b_hops"),
+        )
+        cur = cur.join(b, cur["next"] == b["_b_src"], "left").select(
+            "src",
+            F.coalesce("_b_next", "next").alias("next"),
+            (F.col("hops") + F.coalesce("_b_hops", F.lit(0))).alias("hops"),
+        )
+    # a pointer still sitting on a url that ITSELF redirects after the
+    # final round is a cycle (or an over-max_hops chain): flag, don't lie
+    more = m.select(F.col("src").alias("next"), F.lit(True).alias("_more"))
+    return cur.join(more, "next", "left").select(
+        "src",
+        F.when(F.col("_more").isNotNull(), None).otherwise(F.col("next")).alias(
+            "final_url"
+        ),
+        F.when(F.col("_more").isNotNull(), None)
+        .otherwise(F.col("hops"))
+        .cast("long")
+        .alias("hops"),
+        F.col("_more").isNotNull().alias("unresolved"),
+    )
