@@ -1887,6 +1887,47 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh_redirects(pages).select("src", "dst").orderBy("src")
 
 
+def q_canonical_links(spark, sf_dir):
+    """rel=canonical extraction (operators.webgraph.canonical_links — the
+    webmaster-declared dup signal): pages synthesized from documents carry
+    a canonical declaration on 3 of 4 docs — %4==0 SELF-canonical in
+    shouty attributes, %4==1 a relative href (resolved against the capture
+    url), %4==3 an absolute pointer into a shared canon.example bucket
+    (doc_id%50 — many-to-one, the real dup-cluster shape), %4==2 none.
+    Map-only codegen + one Arrow resolve batch; the oracle regenerates all
+    three forms from doc_id."""
+    from upton_spark.operators.webgraph import canonical_links
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    src = F.concat(F.lit("http://"), F.col("source"), F.lit("/p/"), F.col("doc_id"))
+    tag = (
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 0,
+            F.concat(F.lit('<LINK REL=CANONICAL HREF="'), src, F.lit('">')),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 1,
+            F.concat(F.lit("<link rel='canonical' href='/c/"), F.col("doc_id"), F.lit("'>")),
+        )
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(4)) == 3,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://canon.example/x/'),
+                F.pmod(F.col("doc_id"), F.lit(50)),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    pages = docs.select(
+        src.alias("url"),
+        F.concat(F.lit("<html><head>"), tag, F.lit("</head><body>x</body></html>"))
+        .cast("binary")
+        .alias("html"),
+    )
+    return canonical_links(pages).select("src", "canonical", "is_self").orderBy("src")
+
+
 def q_redirect_chains(spark, sf_dir):
     """Redirect-chain resolution by pointer doubling (operators.webgraph.
     resolve_redirects — log2(max_hops) self-joins, not a per-hop loop):
@@ -2324,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,  # new in r5 (priority/lastmod fields)
         "sitemap_planned_admission": q_sitemap_planned_admission,  # new in r5
         "meta_refresh": q_meta_refresh,  # new in r5 (client-side redirect edges)
+        "canonical_links": q_canonical_links,  # new in r5 (rel=canonical dup signal)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2739,6 +2781,19 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "canonical_links": """
+        WITH c AS (
+          SELECT 'http://' || source || '/p/' || doc_id AS src,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'http://' || source || '/p/' || doc_id
+                   WHEN 1 THEN 'http://' || source || '/c/' || doc_id
+                   WHEN 3 THEN 'http://canon.example/x/' || (doc_id % 50)
+                 END AS canonical
+          FROM documents
+        )
+        SELECT src, canonical, (canonical = src) AS is_self
+        FROM c WHERE canonical IS NOT NULL ORDER BY src
     """,
     "meta_refresh": """
         WITH e AS (

@@ -151,6 +151,11 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "canonical_links": (
+        "rel=canonical extraction is two codegen regexps + ONE Arrow "
+        "resolve batch — map-only, never row-at-a-time Python",
+        ["ArrowEvalPython", "!BatchEvalPython"],
+    ),
     "redirect_chains": (
         "pointer doubling: a fixed log2(max_hops) join ladder, no Python, "
         "nothing pairwise",

@@ -527,3 +527,47 @@ def test_resolve_redirects_long_chain_overflow_flagged(spark):
     # with a big enough bound the same chain fully resolves
     full = {r["src"]: r for r in resolve_redirects(edges, max_hops=16).collect()}
     assert (full["n0"]["final_url"], full["n0"]["hops"]) == (f"n{n}", n)
+
+
+def test_canonical_links_forms_and_chain_collapse(spark):
+    from upton_spark.operators.webgraph import canonical_links, resolve_redirects
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # self-canonical, uppercase attrs
+        ("http://a.com/p1", '<LINK REL=CANONICAL HREF="http://a.com/p1">'),
+        # relative canonical resolves against the capture url
+        ("http://a.com/p1?utm=x", "<link rel='canonical' href='/p1'>"),
+        # chain: p2 declares p3 canonical, p3 declares p4
+        ("http://a.com/p2", '<link rel="canonical" href="http://a.com/p3">'),
+        ("http://a.com/p3", '<link rel="canonical" href="/p4">'),
+        # no declaration -> no row
+        ("http://a.com/p5", "<html><body>plain</body></html>"),
+        # first tag wins
+        (
+            "http://a.com/p6",
+            '<link rel="canonical" href="/first"><link rel="canonical" href="/second">',
+        ),
+    ]
+    pages = spark.createDataFrame(
+        [(u, t0, h.encode(), None, None) for u, h in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    got = {r["src"]: r for r in canonical_links(pages).collect()}
+    assert set(got) == {
+        "http://a.com/p1", "http://a.com/p1?utm=x", "http://a.com/p2",
+        "http://a.com/p3", "http://a.com/p6",
+    }
+    assert got["http://a.com/p1"]["is_self"] is True
+    assert got["http://a.com/p1?utm=x"]["canonical"] == "http://a.com/p1"
+    assert got["http://a.com/p1?utm=x"]["is_self"] is False
+    assert got["http://a.com/p6"]["canonical"] == "http://a.com/first"
+
+    # canonical CHAINS collapse through the same pointer-doubling resolver
+    edges = canonical_links(pages).filter(~F.col("is_self")).select(
+        "src", F.col("canonical").alias("dst")
+    )
+    resolved = {r["src"]: r for r in resolve_redirects(edges).collect()}
+    assert (resolved["http://a.com/p2"]["final_url"], resolved["http://a.com/p2"]["hops"]) == (
+        "http://a.com/p4", 2,
+    )

@@ -628,3 +628,41 @@ def resolve_redirects(
         .alias("hops"),
         F.col("_more").isNotNull().alias("unresolved"),
     )
+
+
+_CANONICAL_TAG_RE = r"(?i)<link\b[^>]*rel\s*=\s*[\"']?canonical[\"']?[^>]*>"
+_HREF_ATTR_RE = r"(?i)href\s*=\s*[\"']?([^\"'>\s]+)"
+
+
+def canonical_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``<link rel=canonical href=...>`` declarations extracted from
+    captured html — the webmaster-DECLARED duplicate signal (every CMS
+    emits it; Google's dup clustering consumes it), complementing the
+    content-side dedup family (minhash/simhash/semantic). One (src,
+    canonical, is_self) row per declaring page: first tag wins, relative
+    hrefs resolve against the capture url (same Arrow resolve UDF as link
+    extraction), ``is_self`` marks the common self-canonical case.
+
+    Scale shape: map-only — two codegen regexps + one Arrow batch, no
+    shuffle. Cross-page canonical CHAINS (a→b where b itself declares c)
+    collapse through :func:`resolve_redirects` on the non-self edges; the
+    resolved map feeds ``Crawler(redirect_map=...)`` so a re-crawl spends
+    politeness tokens only on canonical targets.
+    """
+    from upton_spark.functions.udfs import resolve_url_udf
+
+    body = F.col(html_col).cast("string")
+    tag = F.regexp_extract(body, _CANONICAL_TAG_RE, 0)
+    raw = F.regexp_extract(tag, _HREF_ATTR_RE, 1)
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.when(raw == "", None).otherwise(raw).alias("_raw"),
+        )
+        .filter(F.col("_raw").isNotNull())
+        .select("src", resolve_url_udf(F.col("_raw"), F.col("src")).alias("canonical"))
+        .filter(F.col("canonical").isNotNull())
+        .withColumn("is_self", F.col("canonical") == F.col("src"))
+    )
