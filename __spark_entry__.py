@@ -1887,6 +1887,42 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh_redirects(pages).select("src", "dst").orderBy("src")
 
 
+def q_sniff_type(spark, sf_dir):
+    """Magic-byte content-type sniffing (operators.multimodal.
+    sniff_content_type — the fetch→parse router; WHATWG-style check
+    order): payloads synthesized from documents cycle through EIGHT real
+    byte forms (png/gif/jpeg/pdf magic, html doctype, plain text, a
+    NUL-leading blob, an ISO-BMFF ftyp box), the operator sniffs the
+    actual bytes entirely in codegen (hex-prefix probes + the anchored
+    pair-regex NUL test), and the oracle regenerates the ground-truth
+    label from doc_id — so any misclassification of real magic bytes
+    hash-mismatches."""
+    from upton_spark.operators.multimodal import sniff_content_type
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tb = F.col("text").cast("binary")
+    k = F.pmod(F.col("doc_id"), F.lit(8))
+    payload = (
+        F.when(k == 0, F.concat(F.unhex(F.lit("89504E470D0A1A0A")), tb))
+        .when(k == 1, F.concat(F.lit("GIF89a").cast("binary"), tb))
+        .when(k == 2, F.concat(F.unhex(F.lit("FFD8FFE0")), tb))
+        .when(k == 3, F.concat(F.lit("%PDF-1.4 ").cast("binary"), tb))
+        .when(k == 4, F.concat(F.lit("<!DOCTYPE html><html>").cast("binary"), tb))
+        .when(k == 5, tb)
+        .when(k == 6, F.concat(F.unhex(F.lit("00FF")), tb))
+        .otherwise(
+            F.concat(
+                F.unhex(F.lit("00000018")), F.lit("ftypisom").cast("binary"), tb
+            )
+        )
+    )
+    return (
+        sniff_content_type(docs.select("doc_id", payload.alias("html")))
+        .select("doc_id", "content_type")
+        .orderBy("doc_id")
+    )
+
+
 def q_canonical_links(spark, sf_dir):
     """rel=canonical extraction (operators.webgraph.canonical_links — the
     webmaster-declared dup signal): pages synthesized from documents carry
@@ -2366,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_planned_admission": q_sitemap_planned_admission,  # new in r5
         "meta_refresh": q_meta_refresh,  # new in r5 (client-side redirect edges)
         "canonical_links": q_canonical_links,  # new in r5 (rel=canonical dup signal)
+        "sniff_type": q_sniff_type,  # new in r5 (magic-byte content-type router)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2781,6 +2818,20 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "sniff_type": """
+        SELECT doc_id,
+               CASE CAST(doc_id % 8 AS INT)
+                 WHEN 0 THEN 'image/png'
+                 WHEN 1 THEN 'image/gif'
+                 WHEN 2 THEN 'image/jpeg'
+                 WHEN 3 THEN 'application/pdf'
+                 WHEN 4 THEN 'text/html'
+                 WHEN 5 THEN 'text/plain'
+                 WHEN 6 THEN 'application/octet-stream'
+                 ELSE 'video/mp4'
+               END AS content_type
+        FROM documents ORDER BY doc_id
     """,
     "canonical_links": """
         WITH c AS (

@@ -151,6 +151,12 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "sniff_type": (
+        "magic-byte sniffing is pure codegen (hex-prefix probes + the "
+        "anchored pair-regex NUL test) — no Python at all; the lone "
+        "Exchange is the contract ORDER BY",
+        ["!BatchEvalPython", "!ArrowEvalPython"],
+    ),
     "canonical_links": (
         "rel=canonical extraction is two codegen regexps + ONE Arrow "
         "resolve batch — map-only, never row-at-a-time Python",

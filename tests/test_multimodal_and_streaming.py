@@ -647,3 +647,58 @@ def test_mp4_sample_table_skips_leading_trak_without_sample_chain():
     patched_body = body[:mvhd_len] + hollow + body[mvhd_len:]
     patched = ftyp + struct.pack(">I", 8 + len(patched_body)) + b"moov" + patched_body
     assert mp4_sample_table(patched) == [(0, 5, 250), (250, 7, 250)]
+
+
+class TestSniffContentType:
+    def test_magic_and_heuristics(self, spark):
+        from upton_spark.operators.multimodal import sniff_content_type
+
+        rows = [
+            (0, bytes.fromhex("89504E470D0A1A0A") + b"x" * 8),
+            (1, b"GIF89a" + b"\x01" * 8),
+            (2, bytes.fromhex("FFD8FFE0") + b"JFIF"),
+            (3, b"%PDF-1.4 hello"),
+            (4, b"\x1f\x8b\x08rest"),
+            (5, b"PK\x03\x04zipdata"),
+            (6, b"RIFF\x24\x00\x00\x00WAVEfmt "),
+            (7, b"\x00\x00\x00\x18ftypisom rest-of-box"),
+            (8, b"<!DOCTYPE html><html><body>hi</body></html>"),
+            (9, b"  \n <HTML><head></head>"),
+            (10, "﻿<html>bom first".encode("utf-8")),
+            (11, b"<?xml version='1.0'?><feed/>"),
+            (12, b"just some plain words\nsecond line"),
+            (13, b"starts text\x00but has a NUL"),
+            (14, b""),
+            (15, None),
+            # RIFF but NOT WAVE (e.g. AVI) must not claim audio/wav
+            (16, b"RIFF\x24\x00\x00\x00AVI LIST"),
+            # '<' start that is not an html-ish tag stays text
+            (17, b"<<< quoted line"),
+        ]
+        df = spark.createDataFrame(rows, "id long, html binary")
+        got = {r["id"]: r["content_type"] for r in sniff_content_type(df).collect()}
+        assert got[0] == "image/png"
+        assert got[1] == "image/gif"
+        assert got[2] == "image/jpeg"
+        assert got[3] == "application/pdf"
+        assert got[4] == "application/gzip"
+        assert got[5] == "application/zip"
+        assert got[6] == "audio/wav"
+        assert got[7] == "video/mp4"
+        assert got[8] == "text/html"
+        assert got[9] == "text/html"
+        assert got[10] == "text/html"
+        assert got[11] == "text/html"
+        assert got[12] == "text/plain"
+        assert got[13] == "application/octet-stream"
+        assert got[14] is None
+        assert got[15] is None
+        assert got[16] == "application/octet-stream"  # NULs in size field
+        assert got[17] == "text/plain"
+
+    def test_pure_codegen(self, spark):
+        from upton_spark.operators.multimodal import sniff_content_type
+
+        df = spark.createDataFrame([(0, b"hi")], "id long, html binary")
+        plan = sniff_content_type(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -725,3 +725,71 @@ def synth_media(spark, n_assets: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, schema=MEDIA)
+
+
+# --------------------------------------------------------------------------
+# content-type sniffing (magic bytes)
+# --------------------------------------------------------------------------
+
+# (hex-prefix, label) in check order — binary magics first; the html/text
+# heuristics only run when no magic matched. Hex offsets are byte*2.
+_MAGIC_PREFIXES = [
+    ("89504E47", "image/png"),
+    ("47494638", "image/gif"),
+    ("FFD8FF", "image/jpeg"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+]
+
+
+def sniff_content_type(
+    df: DataFrame,
+    payload_col: str = "html",
+    out_col: str = "content_type",
+    probe_bytes: int = 256,
+) -> DataFrame:
+    """Magic-byte content-type sniffing over a raw fetched payload — the
+    router step between fetch and parse: a crawler cannot trust a server's
+    Content-Type header (or has none in a body-only corpus), and feeding a
+    JPEG to the html parser or an html error page to the image decoder
+    wastes the batch. Mirrors the WHATWG MIME-sniffing check order:
+    fixed magic prefixes (png/gif/jpeg/pdf/gzip/zip, RIFF+WAVE, the
+    ftyp box at offset 4 for mp4) first, then an html tag heuristic on
+    the decoded head, then NUL-byte detection splitting text/plain from
+    application/octet-stream. NULL/empty payloads stay NULL.
+
+    100-TB shape: ENTIRELY whole-stage codegen — one ``hex(substring())``
+    probe of the first ``probe_bytes`` bytes plus string predicates; no
+    Python, no shuffle, runs inside the scan. The byte-aligned NUL test is
+    an anchored pair-regex over the hex (``^(..)*00``), not a raw
+    substring search that could straddle byte boundaries.
+    """
+    col = F.col(payload_col)
+    hx = F.hex(F.substring(col, 1, probe_bytes))
+    head = F.lower(F.substring(col.cast("string"), 1, probe_bytes))
+    expr = None
+    checks: list[tuple] = [(hx.startswith(p), F.lit(lab)) for p, lab in _MAGIC_PREFIXES]
+    # RIFF container: bytes 1-4 'RIFF', 9-12 'WAVE' (hex offsets 1 and 17)
+    checks.append(
+        (
+            hx.startswith("52494646") & (F.substring(hx, 17, 8) == "57415645"),
+            F.lit("audio/wav"),
+        )
+    )
+    # ISO-BMFF: 4-byte box size then 'ftyp' at byte 5 (hex offset 9)
+    checks.append((F.substring(hx, 9, 8) == "66747970", F.lit("video/mp4")))
+    checks.append(
+        (
+            # ﻿: a decoded UTF-8 BOM survives the cast as one char
+            head.rlike(r"^\s*﻿?\s*<(!doctype html|html|head|body|!--|\?xml)"),
+            F.lit("text/html"),
+        )
+    )
+    checks.append((hx.rlike("^(..)*00"), F.lit("application/octet-stream")))
+    for cond, lab in reversed(checks):
+        expr = F.when(cond, lab).otherwise(
+            expr if expr is not None else F.lit("text/plain")
+        )
+    out = F.when(col.isNull() | (F.length(col) == 0), F.lit(None).cast("string")).otherwise(expr)
+    return df.withColumn(out_col, out)
