@@ -1887,6 +1887,34 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh_redirects(pages).select("src", "dst").orderBy("src")
 
 
+def q_registrable_domains(spark, sf_dir):
+    """eTLD+1 extraction (operators.webgraph.registrable_domains —
+    longest-public-suffix match over broadcast depth dims, no explode/
+    window/shuffle): hosts synthesized from doc_id cycle through six known
+    shapes (2-label public suffix, implicit-* fallback, private-section
+    github.io, a host that IS a suffix → NULL, bare .org, deep subdomain
+    under ac.jp); the operator matches real strings against the vendored
+    PSL snapshot and the oracle regenerates ground truth from doc_id."""
+    from upton_spark.operators.webgraph import registrable_domains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(6))
+    sid = F.col("doc_id").cast("string")
+    host = (
+        F.when(k == 0, F.concat(F.lit("www.site"), sid, F.lit(".co.uk")))
+        .when(k == 1, F.concat(F.lit("a.b.site"), sid, F.lit(".com")))
+        .when(k == 2, F.concat(F.lit("user"), sid, F.lit(".github.io")))
+        .when(k == 3, F.lit("co.uk"))
+        .when(k == 4, F.concat(F.lit("site"), sid, F.lit(".org")))
+        .otherwise(F.concat(F.lit("deep.x.site"), sid, F.lit(".ac.jp")))
+    )
+    return (
+        registrable_domains(docs.select("doc_id", host.alias("host")))
+        .select("doc_id", "host", "domain")
+        .orderBy("doc_id")
+    )
+
+
 def q_sniff_type(spark, sf_dir):
     """Magic-byte content-type sniffing (operators.multimodal.
     sniff_content_type — the fetch→parse router; WHATWG-style check
@@ -2403,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_refresh": q_meta_refresh,  # new in r5 (client-side redirect edges)
         "canonical_links": q_canonical_links,  # new in r5 (rel=canonical dup signal)
         "sniff_type": q_sniff_type,  # new in r5 (magic-byte content-type router)
+        "registrable_domains": q_registrable_domains,  # new in r5 (eTLD+1 grouping key)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2818,6 +2847,29 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "registrable_domains": """
+        WITH h AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'www.site' || doc_id || '.co.uk'
+                   WHEN 1 THEN 'a.b.site' || doc_id || '.com'
+                   WHEN 2 THEN 'user' || doc_id || '.github.io'
+                   WHEN 3 THEN 'co.uk'
+                   WHEN 4 THEN 'site' || doc_id || '.org'
+                   ELSE 'deep.x.site' || doc_id || '.ac.jp'
+                 END AS host,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'site' || doc_id || '.co.uk'
+                   WHEN 1 THEN 'site' || doc_id || '.com'
+                   WHEN 2 THEN 'user' || doc_id || '.github.io'
+                   WHEN 3 THEN NULL
+                   WHEN 4 THEN 'site' || doc_id || '.org'
+                   ELSE 'site' || doc_id || '.ac.jp'
+                 END AS domain
+          FROM documents
+        )
+        SELECT doc_id, host, domain FROM h ORDER BY doc_id
     """,
     "sniff_type": """
         SELECT doc_id,

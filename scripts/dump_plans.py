@@ -151,6 +151,12 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "registrable_domains": (
+        "eTLD+1 longest-suffix match is broadcast depth dims over codegen "
+        "array slices — no explode, no window, no SortMergeJoin, no Python",
+        ["BroadcastHashJoin", "!SortMergeJoin", "!Generate",
+         "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
     "sniff_type": (
         "magic-byte sniffing is pure codegen (hex-prefix probes + the "
         "anchored pair-regex NUL test) — no Python at all; the lone "

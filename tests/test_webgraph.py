@@ -571,3 +571,38 @@ def test_canonical_links_forms_and_chain_collapse(spark):
     assert (resolved["http://a.com/p2"]["final_url"], resolved["http://a.com/p2"]["hops"]) == (
         "http://a.com/p4", 2,
     )
+
+
+def test_registrable_domains_longest_match_and_fallbacks(spark):
+    from upton_spark.operators.webgraph import registrable_domains
+
+    rows = [
+        ("www.Site.co.uk",),          # multi-label public suffix
+        ("a.b.example.com",),         # implicit '*' rule -> last two labels
+        ("user.github.io",),          # private-section suffix: user IS the site
+        ("deep.user.github.io",),     # still groups to user.github.io
+        ("bucket.s3.amazonaws.com",), # 3-label suffix
+        ("co.uk",),                   # host IS a suffix -> no domain
+        ("localhost",),               # single label -> no domain
+        ("foo.uk",),                  # unlisted ccTLD second level -> fallback
+    ]
+    df = spark.createDataFrame(rows, "host string")
+    got = {r["host"]: r["domain"] for r in registrable_domains(df).collect()}
+    assert got["www.Site.co.uk"] == "site.co.uk"
+    assert got["a.b.example.com"] == "example.com"
+    assert got["user.github.io"] == "user.github.io"
+    assert got["deep.user.github.io"] == "user.github.io"
+    assert got["bucket.s3.amazonaws.com"] == "bucket.s3.amazonaws.com"
+    assert got["co.uk"] is None
+    assert got["localhost"] is None
+    assert got["foo.uk"] == "foo.uk"
+
+
+def test_registrable_domains_no_shuffle_of_big_side(spark):
+    from upton_spark.operators.webgraph import registrable_domains
+
+    df = spark.createDataFrame([("x.co.uk",)], "host string")
+    plan = registrable_domains(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

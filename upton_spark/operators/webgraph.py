@@ -666,3 +666,94 @@ def canonical_links(
         .filter(F.col("canonical").isNotNull())
         .withColumn("is_self", F.col("canonical") == F.col("src"))
     )
+
+
+# --------------------------------------------------------------------------
+# registrable domain (eTLD+1)
+# --------------------------------------------------------------------------
+
+# Vendored snapshot of common PUBLIC SUFFIX LIST rules (publicsuffix.org —
+# public data; exact rules only, no wildcard/exception forms). Hosts under
+# a multi-label public suffix ('site.co.uk') or a private-section suffix
+# ('user.github.io') group WRONG under naive last-two-labels logic — at
+# crawl scale that merges every *.blogspot.com blog into one politeness
+# bucket and leaks shared-host pages across train/test splits. Pass a
+# fuller rule list via ``suffixes=`` to track the live PSL.
+_PSL_SNAPSHOT = [
+    # ccTLD second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+    "co.za", "org.za", "web.za", "net.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "com.tr", "gen.tr", "web.tr",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ac.in", "edu.in",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr",
+    "com.sg", "com.hk", "com.tw", "com.my", "com.ph", "com.pk",
+    "co.id", "web.id", "co.th", "in.th", "ac.th",
+    "com.vn", "com.ua", "in.ua", "co.il", "org.il", "ac.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl",
+    "com.eg", "com.sa", "com.ng", "co.ke",
+    # private-section hosting suffixes (each customer is its own site)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "herokuapp.com", "netlify.app", "vercel.app", "web.app",
+    "cloudfront.net", "azurewebsites.net", "appspot.com", "pages.dev",
+    "s3.amazonaws.com",
+]
+
+
+def registrable_domains(
+    df: DataFrame,
+    host_col: str = "host",
+    suffixes: list[str] | None = None,
+    out_col: str = "domain",
+) -> DataFrame:
+    """Registrable domain (eTLD+1) per host by longest-public-suffix match
+    — the grouping key crawl politeness, per-site budgets, and
+    leakage-safe splits actually need at web scale (grouping by raw host
+    treats every ``*.blogspot.com`` blog as one site and every
+    ``a.example.com``/``b.example.com`` pair as two).
+
+    Scale shape: one tiny suffix dim per label depth, broadcast-joined
+    longest-depth-first onto the host's last-k-label slices — NO explode,
+    NO window, NO shuffle of the big side; everything else is codegen
+    array ops. Unmatched hosts fall back to the PSL's implicit ``*`` rule
+    (last label is the suffix → domain = last two labels); hosts that ARE
+    a suffix, and single-label hosts, yield NULL (no registrable domain —
+    loud, never a fake key).
+    """
+    rules = sorted(set(suffixes or _PSL_SNAPSHOT))
+    spark = df.sparkSession
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
+    nl = F.size(labels)
+    depths = sorted({r.count(".") + 1 for r in rules}, reverse=True)
+    out = df.withColumn("_labels", labels)
+    hits = []
+    for k in depths:
+        dim = spark.createDataFrame(
+            [(r,) for r in rules if r.count(".") + 1 == k], f"_sfx_{k} string"
+        )
+        cand = F.when(
+            nl > k, F.array_join(F.slice(F.col("_labels"), -k, k), ".")
+        ).alias(f"_cand_{k}")
+        out = out.withColumn(f"_cand_{k}", cand).join(
+            F.broadcast(dim), F.col(f"_cand_{k}") == F.col(f"_sfx_{k}"), "left"
+        )
+        hits.append((k, F.col(f"_sfx_{k}")))
+    domain = None
+    # longest matching suffix wins; fallback: the implicit '*' rule
+    fallback = F.when(
+        nl >= 2, F.array_join(F.slice(F.col("_labels"), -2, 2), ".")
+    )
+    for k, hit in reversed(hits):
+        matched = F.array_join(F.slice(F.col("_labels"), -(k + 1), k + 1), ".")
+        nxt = domain if domain is not None else fallback
+        domain = F.when(hit.isNotNull(), matched).otherwise(nxt)
+    # a host that IS a public suffix has no registrable domain at all
+    domain = F.when(host.isin(rules), F.lit(None).cast("string")).otherwise(domain)
+    drop = ["_labels"] + [c for k in depths for c in (f"_cand_{k}", f"_sfx_{k}")]
+    return out.withColumn(out_col, domain).drop(*drop)
