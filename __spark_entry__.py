@@ -1664,6 +1664,40 @@ def q_host_split(spark, sf_dir):
     )
 
 
+def q_domain_split(spark, sf_dir):
+    """SITE-disjoint train/val/test split — host_disjoint_split keyed on
+    the registrable domain (eTLD+1) instead of the raw host, so every
+    subdomain of a site lands in the same split (www./m./cdn. mirrors and
+    per-language subdomains are the worst cross-split leakage vector).
+    Hosts are the registrable_domains six-shape synthesis; suffix-only
+    hosts (NULL domain) are excluded — no fake split key. DuckDB replays
+    domain regeneration + the identical md5-bucket arithmetic."""
+    from upton_spark.operators.sampling import host_disjoint_split
+    from upton_spark.operators.webgraph import registrable_domains
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    k = F.pmod(F.col("doc_id"), F.lit(6))
+    sid = F.col("doc_id").cast("string")
+    host = (
+        F.when(k == 0, F.concat(F.lit("www.site"), sid, F.lit(".co.uk")))
+        .when(k == 1, F.concat(F.lit("a.b.site"), sid, F.lit(".com")))
+        .when(k == 2, F.concat(F.lit("user"), sid, F.lit(".github.io")))
+        .when(k == 3, F.lit("co.uk"))
+        .when(k == 4, F.concat(F.lit("site"), sid, F.lit(".org")))
+        .otherwise(F.concat(F.lit("deep.x.site"), sid, F.lit(".ac.jp")))
+    )
+    with_domain = registrable_domains(
+        docs.select("doc_id", host.alias("host"))
+    ).filter(F.col("domain").isNotNull())
+    return (
+        host_disjoint_split(
+            with_domain, {"train": 0.8, "val": 0.1, "test": 0.1}, host_col="domain"
+        )
+        .select("doc_id", "host", "domain", "split")
+        .orderBy("doc_id")
+    )
+
+
 def q_anchor_stats(spark, sf_dir):
     """Inlink anchor-text aggregation per link target
     (operators.webgraph.anchor_text_stats): the synthetic link graph plus
@@ -2432,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_links": q_canonical_links,  # new in r5 (rel=canonical dup signal)
         "sniff_type": q_sniff_type,  # new in r5 (magic-byte content-type router)
         "registrable_domains": q_registrable_domains,  # new in r5 (eTLD+1 grouping key)
+        "domain_split": q_domain_split,  # new in r5 (site-disjoint splits)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2847,6 +2882,39 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "domain_split": """
+        WITH h AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'www.site' || doc_id || '.co.uk'
+                   WHEN 1 THEN 'a.b.site' || doc_id || '.com'
+                   WHEN 2 THEN 'user' || doc_id || '.github.io'
+                   WHEN 3 THEN 'co.uk'
+                   WHEN 4 THEN 'site' || doc_id || '.org'
+                   ELSE 'deep.x.site' || doc_id || '.ac.jp'
+                 END AS host,
+                 CASE CAST(doc_id % 6 AS INT)
+                   WHEN 0 THEN 'site' || doc_id || '.co.uk'
+                   WHEN 1 THEN 'site' || doc_id || '.com'
+                   WHEN 2 THEN 'user' || doc_id || '.github.io'
+                   WHEN 3 THEN NULL
+                   WHEN 4 THEN 'site' || doc_id || '.org'
+                   ELSE 'site' || doc_id || '.ac.jp'
+                 END AS domain
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, host, domain,
+                 CAST(('0x' || substr(md5(domain), 1, 15)) AS BIGINT)
+                   % 10000 AS bkt
+          FROM h WHERE domain IS NOT NULL
+        )
+        SELECT doc_id, host, domain,
+               CASE WHEN bkt < 8000 THEN 'train'
+                    WHEN bkt < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
     """,
     "registrable_domains": """
         WITH h AS (

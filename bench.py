@@ -245,6 +245,8 @@ HEADLINE_QUERIES = [
     "cdx_index",  # r5: capture index (codegen + one range sort)
     "text_normalize",  # r5: NFC + control/ws/lower normalization
     "redirect_chains",  # r5: pointer-doubling chain resolution
+    "sniff_type",  # r5: magic-byte content-type router (pure codegen)
+    "domain_split",  # r5: eTLD+1 site-disjoint splits (broadcast suffix match)
 ]
 
 

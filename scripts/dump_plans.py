@@ -151,6 +151,12 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "domain_split": (
+        "site-disjoint split = the same broadcast suffix match + codegen "
+        "md5 bucket — still no explode, no SortMergeJoin, no Python",
+        ["BroadcastHashJoin", "!SortMergeJoin", "!Generate",
+         "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
     "registrable_domains": (
         "eTLD+1 longest-suffix match is broadcast depth dims over codegen "
         "array slices — no explode, no window, no SortMergeJoin, no Python",
