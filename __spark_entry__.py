@@ -1921,6 +1921,44 @@ def q_meta_refresh(spark, sf_dir):
     return meta_refresh_redirects(pages).select("src", "dst").orderBy("src")
 
 
+def q_trap_scores(spark, sf_dir):
+    """Crawler-trap heuristics (operators.webgraph.url_trap_scores —
+    Heritrix-class pathological-url rules, pure codegen): urls synthesized
+    from doc_id cycle through five shapes (normal, /x/x/x/x loop,
+    /YYYY/MM/ calendar, param explosion, shallow+1 param); the operator
+    computes depth/dup_segments/param_count/has_calendar/is_trap from the
+    actual string and the oracle regenerates every feature from the
+    construction — a misparsed path or mis-evaluated rule hash-mismatches."""
+    from upton_spark.operators.webgraph import url_trap_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    k = F.pmod(F.col("doc_id"), F.lit(5))
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(F.lit("http://"), F.col("source"))
+    url = (
+        F.when(k == 0, F.concat(base, F.lit("/d/a/b"), sid))
+        .when(k == 1, F.concat(base, F.lit("/x/x/x/x/x/p"), sid))
+        .when(
+            k == 2,
+            F.concat(
+                base,
+                F.lit("/cal/2024/03/"),
+                (F.pmod(F.col("doc_id"), F.lit(28)) + 1).cast("string"),
+            ),
+        )
+        .when(k == 3, F.concat(base, F.lit("/s?a=1&b=2&c=3&d=4&e=5&f="), sid))
+        .otherwise(F.concat(base, F.lit("/p?page="), sid))
+    )
+    return (
+        url_trap_scores(docs.select("doc_id", url.alias("url")))
+        .select(
+            "doc_id", "url", "depth", "dup_segments", "param_count",
+            "has_calendar", "is_trap",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_registrable_domains(spark, sf_dir):
     """eTLD+1 extraction (operators.webgraph.registrable_domains —
     longest-public-suffix match over broadcast depth dims, no explode/
@@ -2467,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sniff_type": q_sniff_type,  # new in r5 (magic-byte content-type router)
         "registrable_domains": q_registrable_domains,  # new in r5 (eTLD+1 grouping key)
         "domain_split": q_domain_split,  # new in r5 (site-disjoint splits)
+        "trap_scores": q_trap_scores,  # new in r5 (crawler-trap heuristics)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2882,6 +2921,32 @@ _WEBGRAPH_ORACLES = {
                      PARTITION BY host ORDER BY priority, url) - 1)
                     / 10) AS BIGINT) AS round_assigned
         FROM pr ORDER BY host, url
+    """,
+    "trap_scores": """
+        WITH u AS (
+          SELECT doc_id,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 'http://' || source || '/d/a/b' || doc_id
+                   WHEN 1 THEN 'http://' || source || '/x/x/x/x/x/p' || doc_id
+                   WHEN 2 THEN 'http://' || source || '/cal/2024/03/'
+                               || ((doc_id % 28) + 1)
+                   WHEN 3 THEN 'http://' || source
+                               || '/s?a=1&b=2&c=3&d=4&e=5&f=' || doc_id
+                   ELSE 'http://' || source || '/p?page=' || doc_id
+                 END AS url,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 0 THEN 3 WHEN 1 THEN 6 WHEN 2 THEN 4
+                   WHEN 3 THEN 1 ELSE 1 END AS depth,
+                 CASE WHEN doc_id % 5 = 1 THEN 4 ELSE 0 END AS dup_segments,
+                 CASE CAST(doc_id % 5 AS INT)
+                   WHEN 3 THEN 6 WHEN 4 THEN 1 ELSE 0 END AS param_count,
+                 (doc_id % 5 = 2) AS has_calendar,
+                 (doc_id % 5 IN (1, 2, 3)) AS is_trap
+          FROM documents
+        )
+        SELECT doc_id, url, depth, dup_segments, param_count,
+               has_calendar, is_trap
+        FROM u ORDER BY doc_id
     """,
     "domain_split": """
         WITH h AS (

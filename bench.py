@@ -247,6 +247,7 @@ HEADLINE_QUERIES = [
     "redirect_chains",  # r5: pointer-doubling chain resolution
     "sniff_type",  # r5: magic-byte content-type router (pure codegen)
     "domain_split",  # r5: eTLD+1 site-disjoint splits (broadcast suffix match)
+    "trap_scores",  # r5: crawler-trap heuristics (pure codegen)
 ]
 
 

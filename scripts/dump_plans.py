@@ -151,6 +151,11 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "trap_scores": (
+        "trap heuristics are pure codegen (parse_url + array ops + one "
+        "regexp) — no Python; the lone Exchange is the contract ORDER BY",
+        ["!BatchEvalPython", "!ArrowEvalPython"],
+    ),
     "domain_split": (
         "site-disjoint split = the same broadcast suffix match + codegen "
         "md5 bucket — still no explode, no SortMergeJoin, no Python",

@@ -606,3 +606,37 @@ def test_registrable_domains_no_shuffle_of_big_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_trap_scores_features_and_flag(spark):
+    from upton_spark.operators.webgraph import url_trap_scores
+
+    rows = [
+        ("http://a.com/d/a/b1",),                      # normal
+        ("http://a.com/x/x/x/x/x/page",),              # loop trap (4 dups)
+        ("http://a.com/cal/2024/03/7",),               # calendar at depth 4
+        ("http://a.com/s?a=1&b=2&c=3&d=4&e=5&f=6",),   # param explosion
+        ("http://a.com/p?page=3",),                    # shallow + 1 param
+        ("http://a.com/",),                            # empty path
+        ("http://a.com/b2024/03/x",),                  # year not segment-aligned
+        ("http://a.com/a/b/c/d/e/f/g/h/i/j",),         # depth > 8
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    got = {r["url"]: r for r in url_trap_scores(df).collect()}
+    r = got["http://a.com/d/a/b1"]
+    assert (r["depth"], r["dup_segments"], r["param_count"], r["has_calendar"], r["is_trap"]) == (3, 0, 0, False, False)
+    r = got["http://a.com/x/x/x/x/x/page"]
+    assert (r["dup_segments"], r["is_trap"]) == (4, True)
+    r = got["http://a.com/cal/2024/03/7"]
+    assert (r["has_calendar"], r["depth"], r["is_trap"]) == (True, 4, True)
+    r = got["http://a.com/s?a=1&b=2&c=3&d=4&e=5&f=6"]
+    assert (r["param_count"], r["is_trap"]) == (6, True)
+    r = got["http://a.com/p?page=3"]
+    assert (r["param_count"], r["is_trap"]) == (1, False)
+    r = got["http://a.com/"]
+    assert (r["depth"], r["is_trap"]) == (0, False)
+    assert got["http://a.com/b2024/03/x"]["has_calendar"] is False
+    assert got["http://a.com/a/b/c/d/e/f/g/h/i/j"]["is_trap"] is True
+
+    plan = url_trap_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -757,3 +757,45 @@ def registrable_domains(
     domain = F.when(host.isin(rules), F.lit(None).cast("string")).otherwise(domain)
     drop = ["_labels"] + [c for k in depths for c in (f"_cand_{k}", f"_sfx_{k}")]
     return out.withColumn(out_col, domain).drop(*drop)
+
+
+def url_trap_scores(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawler-trap heuristics per url — the admission-side defense
+    against infinite url spaces (calendar pages, session-id explosions,
+    self-similar path loops) that no politeness budget survives: Heritrix
+    ships the same class of pathological-path / too-many-hops rules.
+    Features, all from the url string alone: ``depth`` (non-empty path
+    segments), ``dup_segments`` (segments minus distinct segments — a
+    path like /x/x/x/x is the classic loop trap), ``param_count``
+    (query parameters), ``has_calendar`` (a /YYYY/MM/ date pattern —
+    calendar spaces enumerate forever). ``is_trap`` composes them:
+    dup_segments >= 3, depth > 8, param_count >= 6, or a calendar
+    pattern at depth >= 4. Thresholds are heuristics — tune per crawl;
+    feed flagged urls to ``blocklist_url_patterns`` or drop pre-admission.
+
+    100-TB shape: pure whole-stage codegen (parse_url + array ops +
+    one regexp) — map-only, inside the scan, no Python, no shuffle.
+    """
+    url = F.col(url_col)
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    query = F.parse_url(url, F.lit("QUERY"))
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    depth = F.size(segs)
+    dups = depth - F.size(F.array_distinct(segs))
+    params = F.when(
+        query.isNull() | (query == ""), F.lit(0)
+    ).otherwise(F.size(F.split(query, "&")))
+    cal = path.rlike(r"/(19|20)\d{2}/(0?[1-9]|1[0-2])(/|$)")
+    return (
+        df.withColumn("depth", depth.cast("int"))
+        .withColumn("dup_segments", dups.cast("int"))
+        .withColumn("param_count", params.cast("int"))
+        .withColumn("has_calendar", cal)
+        .withColumn(
+            "is_trap",
+            (F.col("dup_segments") >= 3)
+            | (F.col("depth") > 8)
+            | (F.col("param_count") >= 6)
+            | (F.col("has_calendar") & (F.col("depth") >= 4)),
+        )
+    )
