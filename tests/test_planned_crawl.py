@@ -412,3 +412,31 @@ def test_redirect_map_rewrites_before_admission(spark):
     assert len(rows) == 2
     assert all(r["text"].startswith("Article 0-2:") for r in rows)
     assert not result.extracted.filter(F.col("url") == hop).count()
+
+
+def test_block_traps_gates_pathological_urls(spark, pages):
+    """block_traps=True runs the url_trap_scores heuristics in the
+    blocklist admission slot: a loop-path url goes terminal
+    status='blocked' (reference empty-body encoding, never fetched, no
+    retry burn) while normal urls crawl untouched; flag off, the same url
+    is attempted like any other frontier row."""
+    trap = f"{BASE}/x/x/x/x/x/loop.html"
+    seeds = [
+        SeedSpec(
+            0,
+            url_list=[trap, f"{BASE}/webinar.html"],
+            extract_selector="h1.article-title",
+            extract_kind="text",
+        )
+    ]
+    result = Crawler(spark, pages, seeds, block_traps=True).crawl()
+    statuses = {r["url"]: r["status"] for r in result.frontier.collect()}
+    assert statuses[trap] == "blocked"
+    texts = {r["url"]: r["text"] for r in result.extracted.collect()}
+    assert texts[trap] == ""
+    assert texts[f"{BASE}/webinar.html"] != ""
+    # flag off: the trap url is admitted (and fails on the missing body
+    # like any other dead url), never silently dropped
+    free = Crawler(spark, pages, seeds).crawl()
+    free_statuses = {r["url"]: r["status"] for r in free.frontier.collect()}
+    assert free_statuses[trap] != "blocked"

@@ -193,6 +193,7 @@ class Crawler:
         blocklist_url_patterns: list[str] | None = None,
         fetch_fn: Callable[[str], bytes | str | None] | None = None,
         redirect_map: DataFrame | None = None,
+        block_traps: bool = False,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -278,6 +279,7 @@ class Crawler:
         self.blocklist_hosts = blocklist_hosts
         self.blocklist_url_patterns = list(blocklist_url_patterns or [])
         self.redirect_map = redirect_map
+        self.block_traps = bool(block_traps)
         # ``fetch_fn``: the LIVE-FETCH transport seam (SURVEY §2.1's
         # download_from_resource!, downloader.rb:50-68). None (default) =
         # corpus replay: ``pages`` models the web and a "live fetch" is the
@@ -1421,17 +1423,32 @@ class Crawler:
     def _apply_blocklist(self, cand: DataFrame) -> DataFrame:
         """Blocklist admission check beside the robots gate: a host-list or
         url-pattern hit clears robots_allowed, so the row takes the same
-        terminal 'blocked' path (and lineage count) a robots Disallow does."""
-        if self.blocklist_hosts is None and not self.blocklist_url_patterns:
+        terminal 'blocked' path (and lineage count) a robots Disallow does.
+        ``block_traps`` runs webgraph.url_trap_scores in the same slot —
+        pathological urls (loop paths, calendar spaces, param explosions)
+        go terminal 'blocked' before a fetch token is ever spent."""
+        if (
+            self.blocklist_hosts is None
+            and not self.blocklist_url_patterns
+            and not self.block_traps
+        ):
             return cand
-        from upton_spark.operators.webgraph import blocklist_gate
+        out = cand
+        if self.blocklist_hosts is not None or self.blocklist_url_patterns:
+            from upton_spark.operators.webgraph import blocklist_gate
 
-        out = blocklist_gate(
-            cand, self.blocklist_hosts, self.blocklist_url_patterns
-        )
-        return out.withColumn(
-            "robots_allowed", F.col("robots_allowed") & ~F.col("blocked")
-        ).drop("blocked", "block_reason")
+            out = blocklist_gate(
+                out, self.blocklist_hosts, self.blocklist_url_patterns
+            ).withColumn(
+                "robots_allowed", F.col("robots_allowed") & ~F.col("blocked")
+            ).drop("blocked", "block_reason")
+        if self.block_traps:
+            from upton_spark.operators.webgraph import url_trap_scores
+
+            out = url_trap_scores(out).withColumn(
+                "robots_allowed", F.col("robots_allowed") & ~F.col("is_trap")
+            ).drop("depth", "dup_segments", "param_count", "has_calendar", "is_trap")
+        return out
 
     def _cap_host_tokens(self, new_urls: DataFrame) -> DataFrame:
         """Apply allocate_budget output as the per-round token ceiling:
