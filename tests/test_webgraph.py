@@ -640,3 +640,51 @@ def test_url_trap_scores_features_and_flag(spark):
 
     plan = url_trap_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_resolve_redirects_matches_linear_walk_on_random_graphs(spark):
+    """Property check, seeded: 60 random functional graphs (chains, trees
+    into chains, cycles, self-loops, duplicate srcs) resolved in ONE
+    resolve_redirects call (nodes namespaced per graph) must agree with a
+    pure-Python one-hop-at-a-time walk on terminal, hop count, and
+    unresolved flag for every src."""
+    import random
+
+    rng = random.Random(20240818)
+    edges, expected = [], {}
+    MAX_HOPS = 16
+    for g in range(60):
+        n = rng.randint(2, 12)
+        nodes = [f"g{g}:n{i}" for i in range(n)]
+        emap: dict[str, str] = {}
+        for s in nodes:
+            if rng.random() < 0.7:
+                d = rng.choice(nodes)  # may self-loop / form cycles
+                emap[s] = d
+                edges.append((s, d))
+                if rng.random() < 0.15:  # duplicate src: MIN dst must win
+                    d2 = rng.choice(nodes)
+                    edges.append((s, d2))
+                    emap[s] = min(d, d2)
+        for s in emap:
+            cur, hops = s, 0
+            seen_n = set()
+            while cur in emap and hops <= MAX_HOPS:
+                if cur in seen_n:
+                    break
+                seen_n.add(cur)
+                cur = emap[cur]
+                hops += 1
+            if cur in emap:  # cycle or over budget
+                expected[s] = (None, None, True)
+            else:
+                expected[s] = (cur, hops, False)
+
+    from upton_spark.operators.webgraph import resolve_redirects
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["src"]: (r["final_url"], r["hops"], r["unresolved"])
+        for r in resolve_redirects(df, max_hops=MAX_HOPS).collect()
+    }
+    assert got == expected
