@@ -2090,6 +2090,62 @@ def q_redirect_chains(spark, sf_dir):
     )
 
 
+def q_discovery_chain(spark, sf_dir):
+    """The full discovery pipeline END-TO-END, bytes to schedule: robots.txt
+    captures (Sitemap: directive declared only on hosts whose numeric id
+    %3 != 0) → sitemaps_from_robots (codegen directive extract) → the
+    declared hosts' sitemap.xml captures → sitemap_entries (priority/
+    default parse) → sitemap_priorities (negated micro-quantized) → the
+    Crawler's closed-form per-host round assignment. Undeclared hosts'
+    sitemaps exist in the corpus but are never discovered, so their urls
+    drop out — the semi-join is load-bearing. Oracle replays everything
+    from (source, doc_id) arithmetic: declaration predicate, priority
+    quantization, and the round window."""
+    from upton_spark.operators.robots import sitemaps_from_robots
+    from upton_spark.sources.sitemap import sitemap_entries, sitemap_priorities
+
+    docs = _t(spark, sf_dir, "documents")
+    declared = (
+        F.pmod(F.substring(F.col("source"), 4, 10).cast("long"), F.lit(3)) != 0
+    )
+    robots_body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(
+            declared,
+            F.concat(
+                F.lit("Sitemap: http://"), F.col("source"), F.lit("/sitemap.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots_pages = docs.select("source").distinct().select(
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/robots.txt")).alias("url"),
+        F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("warc_ts"),
+        robots_body.cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    pages = _sitemap_priority_pages(spark, sf_dir).unionByName(robots_pages)
+
+    discovered = sitemaps_from_robots(pages).select("host").distinct()
+    entries = sitemap_entries(pages).join(discovered, "host", "left_semi")
+    prio = sitemap_priorities(entries)
+    fr = docs.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("http://"), F.col("source"), F.lit("/d/"), F.col("doc_id")).alias(
+            "url"
+        ),
+    ).join(prio, "url")
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    return (
+        fr.withColumn(
+            "round_assigned",
+            F.floor((F.row_number().over(w) - 1) / 10).cast("long"),
+        )
+        .select("host", "url", "priority", "round_assigned")
+        .orderBy("host", "url")
+    )
+
+
 def q_planned_admission(spark, sf_dir):
     """The Crawler's PLANNED admission schedule as a pure query — the same
     math the wired crawl loop runs (crawler.py:_with_priority /
@@ -2506,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domains": q_registrable_domains,  # new in r5 (eTLD+1 grouping key)
         "domain_split": q_domain_split,  # new in r5 (site-disjoint splits)
         "trap_scores": q_trap_scores,  # new in r5 (crawler-trap heuristics)
+        "discovery_chain": q_discovery_chain,  # new in r5 (robots->sitemap->schedule e2e)
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
@@ -2915,6 +2972,23 @@ _WEBGRAPH_ORACLES = {
                        ELSE CAST((d.doc_id % 9) + 1 AS DOUBLE) / 10.0 END)
                       * 1000000) AS BIGINT) AS priority
           FROM documents d
+        )
+        SELECT host, url, priority,
+               CAST(floor((row_number() OVER (
+                     PARTITION BY host ORDER BY priority, url) - 1)
+                    / 10) AS BIGINT) AS round_assigned
+        FROM pr ORDER BY host, url
+    """,
+    "discovery_chain": """
+        WITH pr AS (
+          SELECT d.source AS host,
+                 'http://' || d.source || '/d/' || d.doc_id AS url,
+                 CAST(-round((CASE WHEN d.doc_id % 4 = 0
+                       THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST((d.doc_id % 9) + 1 AS DOUBLE) / 10.0 END)
+                      * 1000000) AS BIGINT) AS priority
+          FROM documents d
+          WHERE CAST(substr(d.source, 4) AS BIGINT) % 3 <> 0
         )
         SELECT host, url, priority,
                CAST(floor((row_number() OVER (

@@ -151,6 +151,13 @@ CLAIMS = {
         "never row-at-a-time Python",
         ["ArrowEvalPython", "!BatchEvalPython"],
     ),
+    "discovery_chain": (
+        "robots->sitemap->schedule end-to-end stays codegen regexps + the "
+        "per-host window; the discovery semi-join never becomes pairwise, "
+        "no Python anywhere",
+        ["Window", "!BatchEvalPython", "!ArrowEvalPython",
+         "!CartesianProduct"],
+    ),
     "trap_scores": (
         "trap heuristics are pure codegen (parse_url + array ops + one "
         "regexp) — no Python; the lone Exchange is the contract ORDER BY",
