@@ -2435,6 +2435,148 @@ def _crawl_content_oracle() -> str | None:
     )
 
 
+def _freshness_obs(spark, sf_dir):
+    """Shared observation log for the freshness queries: events replayed
+    as fetch observations — one synthetic page per user on one of 7
+    hosts, event timestamp = observation instant, 'changed' =
+    click/purchase event types (deterministic, engine-neutral)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(
+            F.lit("https://h"),
+            F.pmod("user_id", F.lit(7)).cast("string"),
+            F.lit(".example/u"),
+            F.col("user_id").cast("string"),
+        ).alias("url"),
+        "ts",
+        F.col("event_type").isin("click", "purchase").cast("int").alias("changed"),
+    )
+
+
+_FRESHNESS_OBS_SQL = """
+        obs AS (
+          SELECT 'https://h' || CAST(user_id % 7 AS VARCHAR)
+                 || '.example/u' || CAST(user_id AS VARCHAR) AS url,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                 CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END AS chg
+          FROM events
+        ),
+        agg AS (
+          SELECT url, COUNT(*) AS n_obs, CAST(SUM(chg) AS BIGINT) AS n_changed,
+                 MIN(es) AS first_es, MAX(es) AS last_seen_epoch
+          FROM obs GROUP BY url
+        )"""
+
+
+def q_change_rate(spark, sf_dir):
+    """Poisson change-rate estimation per page (operators.freshness.
+    change_rate — Cho & Garcia-Molina's bias-corrected λ̂ =
+    -ln((n-X+0.5)/(n+0.5))/Ī): the model-based answer to "when should a
+    continuous crawler re-fetch this url", upgrading revisit_intervals'
+    integer halve/double policy. One groupBy(url) over the observation
+    log + codegen arithmetic — no UDF, no driver state. Epochs truncate
+    to whole seconds on both engines (DuckDB's fractional epoch() is
+    floor()ed); λ rounds at 6 decimals (ln/exp are libm on both sides,
+    ~1-ulp apart — same accepted class as the HITS oracle)."""
+    from upton_spark.operators.freshness import change_rate
+
+    rates = change_rate(_freshness_obs(spark, sf_dir))
+    return rates.select(
+        "url",
+        "n_obs",
+        "n_changed",
+        F.round("span_hours", 6).alias("span_hours"),
+        F.round("lambda_per_hour", 6).alias("lambda_ph"),
+        "last_seen_epoch",
+    ).orderBy("url")
+
+
+def q_freshness_planned_admission(spark, sf_dir):
+    """Freshness as a load-bearing crawl-planning input, the third
+    priority source beside pagerank/HITS: change_rate → staleness
+    (1 - exp(-λ·age) as of an injected decision instant = global last
+    observation + 24h) → freshness_priorities (negated micro-quantized)
+    → the Crawler's closed-form per-host round assignment (3 tokens/
+    host/round). Pages whose history can't support an estimate score
+    1.0 (max-stale — the explore arm). The e2e Crawler wiring is pinned
+    by tests/test_freshness.py::test_freshness_priority_e2e; this query
+    replays the identical math so the oracle checks estimator → score →
+    schedule end-to-end."""
+    from upton_spark.operators.freshness import (
+        change_rate,
+        freshness_priorities,
+        staleness_scores,
+    )
+
+    obs = _freshness_obs(spark, sf_dir)
+    rates = change_rate(obs)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    asof = obs.agg((F.max(epoch) + F.lit(86400)).alias("_asof"))
+    scored = staleness_scores(
+        rates.crossJoin(F.broadcast(asof)), F.col("_asof")
+    )
+    fr = freshness_priorities(scored).withColumn(
+        "host", F.regexp_extract("url", "^https://([^/]+)/", 1)
+    )
+    w = Window.partitionBy("host").orderBy("priority", "url")
+    return (
+        fr.withColumn(
+            "round_assigned",
+            F.floor((F.row_number().over(w) - 1) / 3).cast("long"),
+        )
+        .select("host", "url", "priority", "round_assigned")
+        .orderBy("host", "url")
+    )
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Balanced output sharding + per-shard manifest (operators.
+    partitioning.shard_assign/shard_manifest): the write-path planning
+    primitive for emitting a 100-TB corpus as N hash-balanced,
+    engine-portable shards (md5-bucket placement — survives an engine
+    swap bit-for-bit, unlike xxhash64/murmur3) with the row-count /
+    byte / key-range sidecar a downstream loader plans reads from. One
+    map-only codegen assignment + one 16-row aggregate."""
+    from upton_spark.operators.partitioning import shard_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        shard_manifest(docs, 16, key_col="doc_id", size_col="n_chars")
+        .select("shard", "n_rows", "min_key", "max_key", "total_size")
+        .orderBy("shard")
+    )
+
+
+def q_adaptive_delay(spark, sf_dir):
+    """Latency-adaptive politeness (operators.politeness.adaptive_delays):
+    per-host crawl delay auto-tuned to clamp(2 × mean observed fetch
+    latency, 0.5s, 30s) — closed-loop backpressure (a host that slows
+    down earns a longer delay next round) with zero driver state; the
+    Crawler consumes it via host_delays=, merged with robots Crawl-delay
+    by greatest() (e2e pinned by tests/test_freshness.py::
+    test_adaptive_host_delays_throttle_admission). Events replay as the
+    fetch-latency log (latency = value/100 s on one of 7 hosts)."""
+    from upton_spark.operators.politeness import adaptive_delays
+
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(
+            F.lit("h"), F.pmod("user_id", F.lit(7)).cast("string"), F.lit(".example")
+        ).alias("host"),
+        (F.col("value") / F.lit(100.0)).alias("latency_s"),
+    )
+    return (
+        adaptive_delays(obs)
+        .select(
+            "host",
+            "n_obs",
+            F.round("mean_latency_s", 6).alias("mean_latency_s"),
+            F.round("crawl_delay", 6).alias("crawl_delay"),
+        )
+        .orderBy("host")
+    )
+
+
 def _rotate_by_staleness(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2566,6 +2708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_chains": q_redirect_chains,  # new in r5 (pointer-doubling resolve)
         "main_content": q_main_content,  # new in r5 (boilerplate removal)
         "crawl_content": q_crawl_content,  # new in r5 (selector-free crawl)
+        "change_rate": q_change_rate,  # new in r5 (Poisson λ̂ re-crawl model)
+        "freshness_planned_admission": q_freshness_planned_admission,  # new in r5
+        "shard_manifest": q_shard_manifest,  # new in r5 (balanced output shards)
+        "adaptive_delay": q_adaptive_delay,  # new in r5 (latency-tuned politeness)
     })
 
 
@@ -3814,6 +3960,65 @@ def oracle_sql() -> dict[str, str]:
         "media_meta_check": _media_meta_check_oracle(),
         "media_real_decode": _media_real_decode_oracle(),
         "media_sample_frames": _media_sample_frames_oracle(),
+        "change_rate": f"""
+            WITH {_FRESHNESS_OBS_SQL}
+            SELECT url, n_obs, n_changed,
+                   round((last_seen_epoch - first_es) / 3600.0, 6) AS span_hours,
+                   round(CASE WHEN n_obs >= 2 AND last_seen_epoch > first_es
+                         THEN -ln((n_obs - n_changed + 0.5) / (n_obs + 0.5))
+                              / (((last_seen_epoch - first_es) / 3600.0) / (n_obs - 1))
+                         END, 6) AS lambda_ph,
+                   last_seen_epoch
+            FROM agg ORDER BY url
+        """,
+        "freshness_planned_admission": f"""
+            WITH {_FRESHNESS_OBS_SQL},
+            refnow AS (SELECT MAX(es) + 86400 AS a FROM obs),
+            sc AS (
+              SELECT url,
+                     CASE WHEN n_obs >= 2 AND last_seen_epoch > first_es
+                          THEN 1.0 - exp(
+                            -(-ln((n_obs - n_changed + 0.5) / (n_obs + 0.5))
+                              / (((last_seen_epoch - first_es) / 3600.0) / (n_obs - 1)))
+                            * ((a - last_seen_epoch) / 3600.0))
+                          ELSE 1.0 END AS staleness
+              FROM agg CROSS JOIN refnow
+            ),
+            pr AS (
+              SELECT url,
+                     CAST(-round(staleness * 1000000) AS BIGINT) AS priority,
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS host
+              FROM sc
+            )
+            SELECT host, url, priority,
+                   CAST(floor((row_number() OVER (
+                         PARTITION BY host ORDER BY priority, url) - 1) / 3)
+                        AS BIGINT) AS round_assigned
+            FROM pr ORDER BY host, url
+        """,
+        "shard_manifest": """
+            WITH s AS (
+              SELECT doc_id, n_chars,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) % 16 AS shard
+              FROM documents
+            )
+            SELECT shard, COUNT(*) AS n_rows,
+                   MIN(doc_id) AS min_key, MAX(doc_id) AS max_key,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_size
+            FROM s GROUP BY shard ORDER BY shard
+        """,
+        "adaptive_delay": """
+            WITH obs AS (
+              SELECT 'h' || CAST(user_id % 7 AS VARCHAR) || '.example' AS host,
+                     value / 100.0 AS latency_s
+              FROM events
+            )
+            SELECT host, COUNT(*) AS n_obs,
+                   round(avg(latency_s), 6) AS mean_latency_s,
+                   round(least(30.0, greatest(0.5, avg(latency_s) * 2.0)), 6) AS crawl_delay
+            FROM obs GROUP BY host ORDER BY host
+        """,
         **_crawl_oracles(),
         **_webgraph_oracles(),
         "url_md5": """

@@ -248,6 +248,10 @@ HEADLINE_QUERIES = [
     "sniff_type",  # r5: magic-byte content-type router (pure codegen)
     "domain_split",  # r5: eTLD+1 site-disjoint splits (broadcast suffix match)
     "trap_scores",  # r5: crawler-trap heuristics (pure codegen)
+    "change_rate",  # r5: Poisson change-rate estimation (one agg pass)
+    "freshness_planned_admission",  # r5: staleness-planned schedule
+    "shard_manifest",  # r5: balanced output sharding manifest
+    "adaptive_delay",  # r5: latency-tuned politeness aggregate
 ]
 
 

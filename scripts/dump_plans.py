@@ -191,6 +191,27 @@ CLAIMS = {
         "nothing pairwise",
         ["!BatchEvalPython", "!ArrowEvalPython", "!CartesianProduct"],
     ),
+    "change_rate": (
+        "Poisson λ̂ estimation is ONE partial-agg groupBy over the "
+        "observation log + codegen arithmetic — no Python, no window",
+        ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython", "!Window"],
+    ),
+    "freshness_planned_admission": (
+        "staleness scoring rides a 1-row broadcast scalar (the injected "
+        "decision instant) + the per-host admission window — no Python, "
+        "no pairwise join",
+        ["Window", "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
+    "shard_manifest": (
+        "shard placement is map-only codegen (md5→conv→pmod); the manifest "
+        "is one 16-group partial aggregate — no Python",
+        ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
+    "adaptive_delay": (
+        "latency-adaptive politeness is one |hosts|-row partial aggregate "
+        "with codegen clamping — no Python, no window",
+        ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython", "!Window"],
+    ),
 }
 
 

@@ -194,6 +194,7 @@ class Crawler:
         fetch_fn: Callable[[str], bytes | str | None] | None = None,
         redirect_map: DataFrame | None = None,
         block_traps: bool = False,
+        host_delays: DataFrame | None = None,
     ):
         # ``compact_every``: the fetch loop keeps frontier/seen-set updates
         # DELTA-based — each round commits only that round's status map and
@@ -280,6 +281,18 @@ class Crawler:
         self.blocklist_url_patterns = list(blocklist_url_patterns or [])
         self.redirect_map = redirect_map
         self.block_traps = bool(block_traps)
+        # - ``host_delays`` (host, crawl_delay:double seconds): an extra
+        #   per-host politeness floor — typically
+        #   politeness.adaptive_delays over the previous crawl's latency
+        #   log (closed-loop backpressure). Merged with robots Crawl-delay
+        #   via greatest(): the most conservative source wins, same rule the
+        #   robots delay already applies against the seed sleep. Uniform per
+        #   host, so the one-shot closed-form schedule stays exact.
+        self.host_delays = (
+            host_delays.select("host", F.col("crawl_delay").cast("double"))
+            if host_delays is not None
+            else None
+        )
         # ``fetch_fn``: the LIVE-FETCH transport seam (SURVEY §2.1's
         # download_from_resource!, downloader.rb:50-68). None (default) =
         # corpus replay: ``pages`` models the web and a "live fetch" is the
@@ -394,9 +407,34 @@ class Crawler:
 
     def _get_crawl_delays(self) -> DataFrame | None:
         """Per-host Crawl-delay dimension, built once per crawl (lazy DF; the
-        per-round cost is just the broadcast join it rides)."""
+        per-round cost is just the broadcast join it rides). Robots
+        Crawl-delay and the injected ``host_delays`` floor merge here via a
+        full-outer join + greatest() — downstream admission sees ONE
+        (host, crawl_delay) dim regardless of how many sources set it."""
         if not self._crawl_delays_built:
-            self._crawl_delays = robots_ops.crawl_delays(self.robots, self.user_agent)
+            delays = robots_ops.crawl_delays(self.robots, self.user_agent)
+            if self.host_delays is not None:
+                if delays is None:
+                    delays = self.host_delays
+                else:
+                    delays = (
+                        delays.withColumnRenamed("crawl_delay", "_rd")
+                        .join(
+                            self.host_delays.withColumnRenamed(
+                                "crawl_delay", "_ad"
+                            ),
+                            "host",
+                            "full_outer",
+                        )
+                        .select(
+                            "host",
+                            F.greatest(
+                                F.coalesce("_rd", F.lit(0.0)),
+                                F.coalesce("_ad", F.lit(0.0)),
+                            ).alias("crawl_delay"),
+                        )
+                    )
+            self._crawl_delays = delays
             self._crawl_delays_built = True
         return self._crawl_delays
 

@@ -53,6 +53,56 @@ def with_host_salt(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic output-shard id in ``[0, n_shards)`` from a row key:
+    first 15 hex chars (60 bits — no int64 overflow) of ``md5(key)``,
+    parsed and modded. md5, not xxhash64/murmur3, for the same reason as
+    sampling.host_bucket_col — a shard layout must survive an engine swap
+    bit-for-bit (the reader that consumes the shards may not be Spark).
+
+    This is the write-path half of the scale story: a 100-TB corpus is
+    emitted as N self-describing shards; ``df.repartition(n_shards,
+    "shard").write.partitionBy("shard")`` gives one task and one file
+    family per shard, and hash-of-key placement keeps shard sizes balanced
+    regardless of ingest order (contrast range-partitioning, which inherits
+    whatever skew the key distribution has). Map-only codegen — no
+    shuffle here; the single exchange happens at write time."""
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(int(n_shards)),
+    )
+    return df.withColumn("shard", shard.cast("long"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Per-shard manifest (the sidecar a sharded corpus ships with): row
+    count, total payload size, and the key range per shard — what a
+    downstream loader needs to plan reads without opening files, and what
+    a balance monitor alerts on (max/min shard-size ratio). One
+    groupBy(shard) over ``shard_assign`` output — a single
+    ``n_shards``-row aggregate regardless of corpus size."""
+    assigned = shard_assign(df, n_shards, key_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(key_col).alias("min_key"),
+        F.max(key_col).alias("max_key"),
+    ]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col).cast("long")).alias("total_size"))
+    return assigned.groupBy("shard").agg(*aggs)
+
+
 def salted_repartition(
     df: DataFrame,
     n_partitions: int,

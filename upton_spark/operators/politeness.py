@@ -32,6 +32,41 @@ def tokens_for(sleep_time: float | None, round_budget_s: float) -> int:
     return max(1, int(round_budget_s / sleep_time))
 
 
+def adaptive_delays(
+    obs: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_s",
+    multiplier: float = 2.0,
+    min_delay: float = 0.5,
+    max_delay: float = 30.0,
+) -> DataFrame:
+    """Per-host politeness delay auto-tuned from observed fetch latency:
+    ``crawl_delay = clamp(multiplier × mean(latency), min, max)`` — the
+    standard good-citizen heuristic (wait a small multiple of the server's
+    own response time; a host answering in 200 ms tolerates a much higher
+    request rate than one taking 5 s, and a host that slows down under
+    load automatically earns a longer delay next round — closed-loop
+    backpressure without any per-host driver state).
+
+    Output (host, n_obs, mean_latency_s, crawl_delay) merges into
+    admission exactly like robots Crawl-delay does: the Crawler takes it
+    via ``host_delays=`` and applies ``greatest(seed sleep, robots delay,
+    adaptive delay)`` per host — the most conservative wins.
+
+    Scale shape: one |hosts|-row aggregate over the fetch log (the metrics
+    rollup already groups by host, so at scale this rides the same
+    shuffle), broadcast back onto the frontier."""
+    mean_lat = F.avg(F.col(latency_col).cast("double"))
+    return obs.groupBy(host_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        mean_lat.alias("mean_latency_s"),
+        F.least(
+            F.lit(float(max_delay)),
+            F.greatest(F.lit(float(min_delay)), mean_lat * F.lit(float(multiplier))),
+        ).alias("crawl_delay"),
+    )
+
+
 def admit_per_host(
     df: DataFrame,
     tokens_col: str = "host_tokens",
