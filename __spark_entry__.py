@@ -2577,19 +2577,33 @@ def q_adaptive_delay(spark, sf_dir):
     )
 
 
+# Round a query first appeared in queries(), for entries that have never
+# had a green driver row.  A query registered in round R could not possibly
+# have driver evidence before R, so its staleness clock starts at R-1 —
+# ranking it by rounds-MISSED rather than lumping every never-green entry
+# (a 2-rounds-overdue r4 query and a brand-new one) into one bucket.
+# Only never-green entries need a row here; green entries use the ledger.
+_FIRST_REGISTERED_ROUND = {"link_hits": 4}
+_CURRENT_ROUND = 5
+
+
 def _rotate_by_staleness(
     base: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Stalest-evidence-first ordering: the driver correctness artifact is
-    capped (exactly 50 rows in r03/r04 vs 72 registered queries), so dict
+    capped (exactly 50 rows in r03/r04 vs 72+ registered queries), so dict
     order decides which queries get fresh driver rows. GREEN_ROUNDS.json
     (regenerated from the CORRECTNESS_r*.json artifacts by
     scripts/update_green_rounds.py) records each query's latest green
-    round; entries with NO green row ever run first (base order), then
-    ascending last-green round (base order within a round). With a 50-row
-    cap over ~75 queries every entry gets a green row at least every other
-    round — the union of this round's and last round's artifacts always
-    covers the full registry."""
+    round. Entries are ordered by effective-last-evidence round ascending,
+    where a never-green entry's effective round is the round before it was
+    first registered (it is exactly that many rounds overdue, no more);
+    within a round, never-green entries precede green ones, then base
+    (registration) order. This guarantees the entries with real missed
+    rounds (e.g. the 21 r3-green rows skipped by the r4 cap, and link_hits,
+    registered r4 but never checked) outrank same-round registrations, so
+    the union of two consecutive capped artifacts covers every entry that
+    existed two rounds ago."""
     import json
     import os
 
@@ -2599,10 +2613,14 @@ def _rotate_by_staleness(
     except (OSError, KeyError, json.JSONDecodeError):
         return base
     base_pos = {name: i for i, name in enumerate(base)}
-    ordered = sorted(
-        base, key=lambda name: (last_green.get(name, -1), base_pos[name])
-    )
-    return {name: base[name] for name in ordered}
+
+    def key(name: str):
+        if name in last_green:
+            return (last_green[name], 1, base_pos[name])
+        effective = _FIRST_REGISTERED_ROUND.get(name, _CURRENT_ROUND) - 1
+        return (effective, 0, base_pos[name])
+
+    return {name: base[name] for name in sorted(base, key=key)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -223,3 +223,53 @@ class TestNormalizeText:
             strip_controls=False,
         )
         assert res.collect()[0]["norm_text"] == "A\x07  B"
+
+
+class TestDriverRotation:
+    """__spark_entry__._rotate_by_staleness orders the capped driver
+    artifact's rows by rounds-missed (never-green entries start their
+    staleness clock at their registration round)."""
+
+    def _entry(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_under_test", "/root/repo/__spark_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_stale_entries_fill_the_cap_before_new_registrations(self):
+        import json
+
+        mod = self._entry()
+        order = list(mod.queries())
+        ledger = json.load(open("/root/repo/GREEN_ROUNDS.json"))["last_green"]
+        top = set(order[:50])
+        # every entry whose latest green row is >1 round old must get a
+        # fresh driver row this round (the union-of-two-artifacts contract)
+        overdue = [
+            n for n in order if n in ledger and ledger[n] <= mod._CURRENT_ROUND - 2
+        ]
+        pre_r5_never = [
+            n
+            for n, r in mod._FIRST_REGISTERED_ROUND.items()
+            if n not in ledger and r < mod._CURRENT_ROUND
+        ]
+        for name in overdue + pre_r5_never:
+            assert name in top, f"{name} is overdue but below the 50-row cap"
+        # never-green same-round registrations rank AFTER the overdue block
+        stale_max = max(order.index(n) for n in overdue + pre_r5_never)
+        fresh_new = [
+            n
+            for n in order
+            if n not in ledger and n not in mod._FIRST_REGISTERED_ROUND
+        ]
+        assert fresh_new, "expected round-5 registrations in the registry"
+        assert min(order.index(n) for n in fresh_new) > stale_max
+
+    def test_rotation_preserves_the_registry(self):
+        mod = self._entry()
+        rotated = mod.queries()
+        assert set(rotated) == set(mod.oracle_sql())
