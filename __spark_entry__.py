@@ -2577,6 +2577,62 @@ def q_adaptive_delay(spark, sf_dir):
     )
 
 
+def q_dup_representatives(spark, sf_dir):
+    """Quality-aware duplicate representative selection (operators.
+    dedup_docs.select_representatives): the MinHash near-dup graph →
+    connected components → keep the HIGHEST-quality member per cluster
+    (integer whitespace-token count as the micro-unit quality signal, the
+    engine's pre-quantization convention — argmax can never flip on float
+    noise), ties → lowest doc_id. The "which copy do we train on" step
+    after dup_clusters. Spark side: one join + one partial-aggregable
+    struct-min exchange (no window); oracle replays the extremum as a
+    window over the same recursive-CTE component chain."""
+    from upton_spark.operators.dedup_docs import (
+        duplicate_components,
+        near_duplicates_minhash,
+        select_representatives,
+    )
+    from upton_spark.operators.textops import token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = duplicate_components(near_duplicates_minhash(docs, threshold=0.5))
+    quality = docs.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("quality_micro")
+    )
+    return select_representatives(comp, quality).orderBy("component")
+
+
+def q_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 keywords by tf-idf (operators.textops.
+    tfidf_topk): token explode → partial-agg (doc, term) counts →
+    vocab-sized df rollup joined back → ONE per-doc window bounded by the
+    doc's own vocabulary; corpus size N arrives as a broadcast 1-row
+    aggregate, never a driver action. Ranking ties break by term
+    ascending — the only mathematically-equal scores are equal (tf, df)
+    pairs, so ordering is libm-ulp-proof; score surfaces at round 6."""
+    from upton_spark.operators.textops import tfidf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank").withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def q_inverted_index(spark, sf_dir):
+    """Sharded inverted index (operators.textops.inverted_index): term →
+    sorted postings, with head terms (df > 200 at sf0.01 — the stopword
+    skew bomb at 10^10 pages) split across 4 deterministic ``doc %
+    n_shards`` shards so no groupBy-collect is ever bounded by a
+    stopword's full posting count. Oracle replays the identical explode /
+    rollup / shard arithmetic with list_sort(list(doc))."""
+    from upton_spark.operators.textops import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, shard_threshold=200, n_shards=4).orderBy(
+        "term", "shard"
+    )
+
+
 # Round a query first appeared in queries(), for entries that have never
 # had a green driver row.  A query registered in round R could not possibly
 # have driver evidence before R, so its staleness clock starts at R-1 —
@@ -2730,6 +2786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_planned_admission": q_freshness_planned_admission,  # new in r5
         "shard_manifest": q_shard_manifest,  # new in r5 (balanced output shards)
         "adaptive_delay": q_adaptive_delay,  # new in r5 (latency-tuned politeness)
+        "dup_representatives": q_dup_representatives,  # new in r5 (quality-aware keep)
+        "tfidf_keywords": q_tfidf_keywords,  # new in r5 (per-doc salience)
+        "inverted_index": q_inverted_index,  # new in r5 (sharded postings)
     })
 
 
@@ -4647,5 +4706,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT i AS asset_id,
                    CAST(floor((3000 + 100*(i % 7) - 1) / 500) + 1 AS BIGINT) AS n_frames
             FROM range(0, 96) t(i) WHERE i % 3 = 2
+        """,
+        # quality-aware representative per duplicate cluster: the SAME
+        # recursive-CTE component chain as dup_clusters, joined to integer
+        # whitespace-token quality; argmax replayed as a window (the Spark
+        # side is a single-exchange struct-min, but the extremum is
+        # identical — integer quality can never flip on float noise)
+        "dup_representatives": f"""
+            WITH comp AS (SELECT * FROM ({_dup_clusters_oracle()}) z),
+            q AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS BIGINT) AS qm
+              FROM documents
+            ),
+            j AS (
+              SELECT c.component, c.doc_id, q.qm,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.qm DESC, c.doc_id
+                     ) AS rn,
+                     CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)
+                       AS n_members
+              FROM comp c JOIN q USING (doc_id)
+            )
+            SELECT component, doc_id AS rep_doc_id, qm AS rep_quality,
+                   n_members, n_members - 1 AS n_dropped
+            FROM j WHERE rn = 1 ORDER BY component
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                     tf.tf * ln((n.n_docs + 1) / (dft.df + 1.0)) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                     ) AS BIGINT) AS rank
+              FROM s
+            )
+            SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "inverted_index": """
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            td AS (
+              SELECT term, doc, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY term, doc
+            ),
+            dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY term
+            ),
+            sh AS (
+              SELECT td.term, td.doc, dft.df,
+                     CAST(CASE WHEN dft.df > 200 THEN td.doc % 4 ELSE 0 END
+                          AS INTEGER) AS shard
+              FROM td JOIN dft USING (term)
+            )
+            SELECT term, shard, df,
+                   CAST(count(*) AS BIGINT) AS shard_docs,
+                   list_sort(list(doc)) AS postings
+            FROM sh GROUP BY term, shard, df
+            ORDER BY term, shard
         """,
     }

@@ -295,3 +295,26 @@ def test_body_join_prunes_corpus_scan_to_url_html(spark, tmp_path):
     for rs in corpus_scans:
         assert "text" not in rs and "lang" not in rs and "warc_ts" not in rs, rs
     assert any("html:binary" in rs for rs in corpus_scans)
+
+
+def test_tfidf_no_python_no_cartesian(spark, sf_dir):
+    """tf-idf: the corpus-size side must arrive broadcast (never a
+    CartesianProduct row-multiplier), and the whole pipeline stays
+    JVM-side codegen."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_tfidf_keywords(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row N side, broadcast
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inverted_index_partial_aggregates_no_window(spark, sf_dir):
+    """Postings build is groupBy-only (partial-agg friendly), no window
+    sort anywhere, no Python."""
+    import __spark_entry__ as m
+
+    plan = plan_of(m.q_inverted_index(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan

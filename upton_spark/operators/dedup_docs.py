@@ -698,3 +698,61 @@ def exact_substring_dedup(
         (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# quality-aware representative selection
+# --------------------------------------------------------------------------
+
+
+def select_representatives(
+    members: DataFrame,
+    quality: DataFrame,
+    key_col: str = "doc_id",
+    cluster_col: str = "component",
+    quality_col: str = "quality_micro",
+) -> DataFrame:
+    """Duplicate clusters + a per-doc quality signal → ONE kept doc per
+    cluster: the member with the highest quality, ties broken by lowest
+    ``key_col`` (the first-occurrence convention the rest of the dedup
+    family uses). This is the "which copy do we train on" step that
+    follows :func:`duplicate_components` — public pipelines keep the
+    longest / highest-quality copy, not an arbitrary one (C4 keeps first
+    occurrence; quality-aware selection is the refinement).
+
+    ``quality_col`` must be an INTEGER (micro-unit) score — the same
+    pre-quantization convention as the planning priorities
+    (webgraph.pagerank/authority_priorities): integer comparisons are
+    bit-stable across engines, so the argmax can never flip on float
+    noise. Docs in ``members`` missing from ``quality`` rank below every
+    scored doc (quality -2^62), loud in the output via a NULL
+    ``rep_quality``.
+
+    Scale shape: one join on ``key_col`` (rides the corpus bucketing) +
+    ONE partial-aggregable groupBy(cluster) taking a struct-min of
+    (-quality, key) — the identical single-exchange argmin pattern as
+    paragraph_dedup's first-occurrence keys; a mega-cluster costs its
+    member count in partial aggregation, never a window sort.
+    """
+    q = quality.select(
+        F.col(key_col), F.col(quality_col).cast("long").alias("_q")
+    )
+    scored = members.join(q, key_col, "left").select(
+        F.col(key_col),
+        F.col(cluster_col),
+        F.coalesce("_q", F.lit(-(1 << 62))).alias("_q"),
+    )
+    best = F.min(F.struct((-F.col("_q")).alias("nq"), F.col(key_col).alias("k")))
+    agg = scored.groupBy(cluster_col).agg(
+        best.alias("_best"),
+        F.count("*").cast("long").alias("n_members"),
+    )
+    return agg.select(
+        F.col(cluster_col),
+        F.col("_best.k").alias("rep_" + key_col),
+        F.when(F.col("_best.nq") != (1 << 62), -F.col("_best.nq")).alias(
+            "rep_quality"
+        ),
+        "n_members",
+        (F.col("n_members") - 1).alias("n_dropped"),
+    )

@@ -489,3 +489,114 @@ def normalize_text(
     if lowercase:
         col = F.lower(col)
     return df.withColumn(out_col, col)
+
+
+# --------------------------------------------------------------------------
+# tf-idf keywords + inverted index (the search-side primitives)
+# --------------------------------------------------------------------------
+
+
+def _alnum_tokens(text: Column) -> Column:
+    """Lowercased ``[a-z0-9]+`` runs — the deterministic tokenizer shared
+    by the tf-idf / inverted-index family; identical semantics in Java
+    regex and DuckDB RE2, so oracles replay it verbatim."""
+    return F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), F.lit(0))
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 5, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the classic per-doc salience
+    signal (anchor-free document labeling, dedup explainability, topic
+    mixing reports).
+
+    score = tf * ln((N+1)/(df+1)) with add-one smoothing; ranking ties
+    break by term ascending, so equal (tf, df) pairs — the only case two
+    scores can be mathematically equal — order identically on any engine
+    regardless of libm's last ulp.
+
+    Scale shape: token explode (linear in corpus tokens) → partial-agg
+    (doc, term) counts → vocab-sized df rollup joined back on term → ONE
+    per-doc window bounded by the doc's own vocabulary. N arrives via a
+    broadcast 1-row aggregate, not a driver action. Nothing pairwise, no
+    global sort.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(key_col), F.explode(_alnum_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(key_col, "term").agg(F.count("*").cast("long").alias("tf"))
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n_docs = df.select(
+        F.count_distinct(F.col(key_col)).cast("long").alias("n_docs")
+    )
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            key_col,
+            "rank",
+            "term",
+            "tf",
+            "df",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shard_threshold: int = 1 << 16,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Term → sorted postings list — the primitive a crawl corpus feeds a
+    search index with. Head terms (stopwords: df in the billions at
+    10^10 pages) are the canonical skew bomb for a groupBy-collect, so any
+    term whose document frequency exceeds ``shard_threshold`` has its
+    postings SPLIT across ``n_shards`` deterministic shards
+    (``key % n_shards`` — engine-portable, like the split/shard keys
+    elsewhere); cold terms keep one shard (0). Every group's collected
+    list is therefore bounded by max(shard_threshold, df/n_shards)-ish,
+    never by a stopword's full posting count.
+
+    Scale shape: token explode → distinct (term, doc) partial-agg → vocab
+    rollup for df → join back on term → groupBy(term, shard) with an
+    in-group sort_array. One window-free exchange per stage.
+    """
+    td = (
+        df.select(
+            F.col(key_col).alias("doc"),
+            F.explode(_alnum_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dft = td.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    sharded = td.join(dft, "term").withColumn(
+        "shard",
+        F.when(
+            F.col("df") > shard_threshold, F.pmod(F.col("doc"), F.lit(n_shards))
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return sharded.groupBy("term", "shard").agg(
+        F.first("df").alias("df"),
+        F.count("*").cast("long").alias("shard_docs"),
+        F.array_sort(F.collect_list("doc")).alias("postings"),
+    )
