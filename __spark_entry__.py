@@ -2633,6 +2633,101 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib-deflate compression ratio per document (operators.textops.
+    compression_ratio): the cheap gibberish/template quality detector —
+    boilerplate compresses to almost nothing, word salad barely
+    compresses. ONE Arrow-batched deflate stage, ratio as exact int64
+    micro-units. Oracle: the SAME zlib (identical version in bake and
+    executors) replayed over the driver's parquet at generation time,
+    baked as VALUES (bake-the-constants pattern)."""
+    from upton_spark.operators.textops import compression_ratio
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        compression_ratio(docs)
+        .select("doc_id", "raw_bytes", "deflate_bytes", "ratio_micro")
+        .orderBy("doc_id")
+    )
+
+
+def _compression_ratio_oracle() -> str | None:
+    """compression_ratio oracle: pure-Python zlib replay over the sf0.01
+    parquet text at generation time — independent of the Spark execution
+    path (the Arrow stage, the codegen ratio arithmetic)."""
+    try:
+        import duckdb
+        import zlib
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT doc_id, text FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    import zlib
+
+    vals = []
+    for d, t in rows:
+        raw = (t or "").encode("utf-8")
+        dl = len(zlib.compress(raw, 6))
+        ratio = "NULL" if len(raw) == 0 else str(dl * 1_000_000 // len(raw))
+        vals.append(f"({d},{len(raw)},{dl},{ratio})")
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(raw_bytes AS BIGINT) AS raw_bytes, "
+        "CAST(deflate_bytes AS BIGINT) AS deflate_bytes, "
+        "CAST(ratio_micro AS BIGINT) AS ratio_micro FROM (VALUES "
+        + ",".join(vals)
+        + ") v(doc_id, raw_bytes, deflate_bytes, ratio_micro) ORDER BY doc_id"
+    )
+
+
+def q_charset_stats(spark, sf_dir):
+    """Corpus encoding audit (operators.multimodal.detect_charset): pages
+    synthesized as REAL bytes in five encoding shapes from doc_id%5 —
+    plain utf-8, utf-8 BOM, meta-declared iso-8859-1 (real latin-1
+    bytes), utf-16le BOM, utf-16be BOM — sniffed back by the pure-codegen
+    WHATWG-precedence detector (BOM beats declaration beats default) and
+    rolled up per (charset, bom). The Spark side must actually parse the
+    bytes; the oracle regenerates the expected labels straight from
+    doc_id%5 (the sniff_type ground-truth pattern)."""
+    from upton_spark.operators.multimodal import detect_charset
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    snip = F.concat(F.lit("<html><p>"), F.substring("text", 1, 40), F.lit("</p></html>"))
+    payload = (
+        F.when(F.col("doc_id") % 5 == 0, F.encode(snip, "UTF-8"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.unhex(F.lit("EFBBBF")), F.encode(snip, "UTF-8")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.encode(
+                F.concat(F.lit('<meta charset="ISO-8859-1">'), snip), "ISO-8859-1"
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.unhex(F.lit("FFFE")), F.encode(snip, "UTF-16LE")),
+        )
+        .otherwise(
+            F.concat(F.unhex(F.lit("FEFF")), F.encode(snip, "UTF-16BE"))
+        )
+    )
+    pages = docs.select("doc_id", payload.alias("html"))
+    return (
+        detect_charset(pages)
+        .groupBy("charset", "bom")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .orderBy("charset", "bom")
+    )
+
+
 # Round a query first appeared in queries(), for entries that have never
 # had a green driver row.  A query registered in round R could not possibly
 # have driver evidence before R, so its staleness clock starts at R-1 —
@@ -2789,6 +2884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_representatives": q_dup_representatives,  # new in r5 (quality-aware keep)
         "tfidf_keywords": q_tfidf_keywords,  # new in r5 (per-doc salience)
         "inverted_index": q_inverted_index,  # new in r5 (sharded postings)
+        "charset_stats": q_charset_stats,  # new in r5 (WHATWG charset sniff)
+        "compression_ratio": q_compression_ratio,  # new in r5 (deflate quality)
     })
 
 
@@ -4027,7 +4124,9 @@ def oracle_sql() -> dict[str, str]:
     lmppl = _lm_perplexity_oracle()
     mc = _main_content_oracle()
     cc = _crawl_content_oracle()
+    cr = _compression_ratio_oracle()
     return {
+        **({"compression_ratio": cr} if cr is not None else {}),
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),
         **({"bpe_token_stats": bpe} if bpe is not None else {}),
@@ -4788,5 +4887,20 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list(doc)) AS postings
             FROM sh GROUP BY term, shard, df
             ORDER BY term, shard
+        """,
+        "charset_stats": """
+            WITH lab AS (
+              SELECT doc_id,
+                     CASE doc_id % 5
+                       WHEN 0 THEN 'utf-8'    WHEN 1 THEN 'utf-8'
+                       WHEN 2 THEN 'iso-8859-1'
+                       WHEN 3 THEN 'utf-16le' ELSE 'utf-16be' END AS charset,
+                     CASE doc_id % 5
+                       WHEN 1 THEN 'utf-8' WHEN 3 THEN 'utf-16le'
+                       WHEN 4 THEN 'utf-16be' END AS bom
+              FROM documents
+            )
+            SELECT charset, bom, CAST(count(*) AS BIGINT) AS n_pages
+            FROM lab GROUP BY charset, bom ORDER BY charset, bom
         """,
     }

@@ -136,3 +136,85 @@ class TestInvertedIndex:
         assert sum(r["shard_docs"] for r in out if r["term"] == "the") == 40
         rare = [r for r in out if r["term"] == "rare"]
         assert len(rare) == 1 and rare[0]["shard"] == 0
+
+
+class TestCharsetSniffing:
+    def test_decode_html_bytes_bom_precedence(self):
+        from upton_spark.html.dom import decode_html_bytes
+
+        body = "<html><p>café</p></html>"
+        assert decode_html_bytes(b"\xef\xbb\xbf" + body.encode("utf-8")) == body
+        assert decode_html_bytes(b"\xff\xfe" + body.encode("utf-16-le")) == body
+        assert decode_html_bytes(b"\xfe\xff" + body.encode("utf-16-be")) == body
+        # the BOM beats a lying meta declaration (WHATWG precedence)
+        lying = '<meta charset="iso-8859-1">café'
+        assert decode_html_bytes(b"\xef\xbb\xbf" + lying.encode("utf-8")) == lying
+        # meta charset still honored without a BOM
+        latin = '<meta charset="iso-8859-1">caf\xe9'
+        assert decode_html_bytes(latin.encode("iso-8859-1")) == latin
+
+    def test_detect_charset_columns(self, spark):
+        from upton_spark.operators.multimodal import detect_charset
+
+        rows = [
+            (0, bytearray(b"<html>plain</html>")),
+            (1, bytearray(b"\xef\xbb\xbf<html>bom</html>")),
+            (2, bytearray(b'<meta charset="ISO-8859-1">caf\xe9')),
+            (3, bytearray(b"\xff\xfe" + "<html>".encode("utf-16-le"))),
+            # BOM beats the lying declaration
+            (4, bytearray(b'\xfe\xff<meta charset="utf-8">')),
+            (5, None),
+            (6, bytearray(b"")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, html binary")
+        out = {r["doc_id"]: r for r in detect_charset(df).collect()}
+        assert (out[0]["charset"], out[0]["bom"], out[0]["declared"]) == (
+            "utf-8", None, None,
+        )
+        assert (out[1]["charset"], out[1]["bom"]) == ("utf-8", "utf-8")
+        assert (out[2]["charset"], out[2]["declared"]) == (
+            "iso-8859-1", "iso-8859-1",
+        )
+        assert (out[3]["charset"], out[3]["bom"]) == ("utf-16le", "utf-16le")
+        assert (out[4]["charset"], out[4]["declared"]) == ("utf-16be", "utf-8")
+        assert out[5]["charset"] is None and out[6]["charset"] is None
+
+    def test_detect_charset_is_pure_codegen(self, spark):
+        from upton_spark.operators.multimodal import detect_charset
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"<html>"))], "doc_id long, html binary"
+        )
+        plan = detect_charset(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestCompressionRatio:
+    def test_ratio_matches_zlib_and_bands_separate(self, spark):
+        import zlib
+
+        from upton_spark.operators.textops import compression_ratio
+
+        rep = "the the the the " * 50          # template: compresses hard
+        prose = "a quick brown fox jumps over the lazy dog and keeps going"
+        df = spark.createDataFrame(
+            [(1, rep), (2, prose), (3, "")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+        for doc_id, text in [(1, rep), (2, prose)]:
+            raw = len(text.encode("utf-8"))
+            dl = len(zlib.compress(text.encode("utf-8"), 6))
+            assert out[doc_id]["raw_bytes"] == raw
+            assert out[doc_id]["deflate_bytes"] == dl
+            assert out[doc_id]["ratio_micro"] == dl * 1_000_000 // raw
+        assert out[1]["ratio_micro"] < out[2]["ratio_micro"]
+        assert out[3]["ratio_micro"] is None
+
+    def test_map_only_single_arrow_stage(self, spark):
+        from upton_spark.operators.textops import compression_ratio
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = compression_ratio(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("ArrowEvalPython") == 1
+        assert "BatchEvalPython" not in plan

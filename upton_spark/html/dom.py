@@ -157,13 +157,21 @@ _CHARSET_RE = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)"
 
 
 def decode_html_bytes(data: bytes | None) -> str:
-    """Decode raw page bytes: sniff ``<meta charset>`` in the head, default
-    UTF-8, never fail (errors=replace) — a 10^10-page corpus always contains
-    mislabeled encodings."""
+    """Decode raw page bytes per the WHATWG sniffing order: a byte-order
+    mark wins outright (UTF-8 / UTF-16LE / UTF-16BE — webmasters' meta
+    tags lie, the BOM cannot), else ``<meta charset>`` in the head, else
+    UTF-8; never fail (errors=replace) — a 10^10-page corpus always
+    contains mislabeled encodings."""
     if data is None:
         return ""
     if isinstance(data, str):
         return data
+    if data[:3] == b"\xef\xbb\xbf":
+        return data[3:].decode("utf-8", errors="replace")
+    if data[:2] == b"\xff\xfe":
+        return data[2:].decode("utf-16-le", errors="replace")
+    if data[:2] == b"\xfe\xff":
+        return data[2:].decode("utf-16-be", errors="replace")
     match = _CHARSET_RE.search(data[:4096])
     encoding = "utf-8"
     if match:

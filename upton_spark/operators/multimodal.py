@@ -793,3 +793,51 @@ def sniff_content_type(
         )
     out = F.when(col.isNull() | (F.length(col) == 0), F.lit(None).cast("string")).otherwise(expr)
     return df.withColumn(out_col, out)
+
+
+def detect_charset(
+    df: DataFrame,
+    payload_col: str = "html",
+    probe_bytes: int = 4096,
+) -> DataFrame:
+    """Charset sniffing over raw page bytes, the WHATWG precedence the
+    Python-side ``decode_html_bytes`` applies at parse time — surfaced as
+    COLUMNS so a corpus can be audited/routed before any decode: a
+    byte-order mark wins outright (meta tags lie; the BOM cannot), else
+    the first ``<meta charset>`` declaration in the head probe, else the
+    utf-8 default. Output columns: ``charset`` (effective, lowercased),
+    ``bom`` ('utf-8'/'utf-16le'/'utf-16be' or NULL), ``declared`` (the
+    raw meta declaration, NULL when absent). NULL/empty payloads → NULL
+    charset.
+
+    100-TB shape: ENTIRELY whole-stage codegen — one hex(substring())
+    probe for the BOM plus one regexp_extract over the cast head (ASCII
+    meta tags survive a lenient utf-8 cast even in mislabeled single-byte
+    pages); no Python, no shuffle, runs inside the scan.
+    """
+    col = F.col(payload_col)
+    hx = F.hex(F.substring(col, 1, 3))
+    head = F.lower(F.substring(col.cast("string"), 1, probe_bytes))
+    declared = F.regexp_extract(
+        head, r"""<meta[^>]+charset\s*=\s*["']?\s*([a-z0-9_\-]+)""", 1
+    )
+    declared = F.when(declared == "", F.lit(None).cast("string")).otherwise(declared)
+    bom = (
+        F.when(hx.startswith("EFBBBF"), F.lit("utf-8"))
+        .when(hx.startswith("FFFE"), F.lit("utf-16le"))
+        .when(hx.startswith("FEFF"), F.lit("utf-16be"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    effective = F.coalesce(bom, declared, F.lit("utf-8"))
+    null_in = col.isNull() | (F.length(col) == 0)
+    return (
+        df.withColumn("bom", F.when(null_in, F.lit(None).cast("string")).otherwise(bom))
+        .withColumn(
+            "declared",
+            F.when(null_in, F.lit(None).cast("string")).otherwise(declared),
+        )
+        .withColumn(
+            "charset",
+            F.when(null_in, F.lit(None).cast("string")).otherwise(effective),
+        )
+    )

@@ -600,3 +600,44 @@ def inverted_index(
         F.count("*").cast("long").alias("shard_docs"),
         F.array_sort(F.collect_list("doc")).alias("postings"),
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """zlib-deflate compression ratio per document — the classic cheap
+    gibberish/template detector (highly repetitive boilerplate compresses
+    to almost nothing; random word-salad barely compresses; natural prose
+    sits in a stable band), used as a quality gate alongside the Gopher
+    structural rules. Ratio surfaces in integer MICRO-units
+    (``deflate_bytes * 1_000_000 div raw_bytes``) — exact integer
+    arithmetic, bit-stable across engines like the sampling/priority
+    keys; empty docs → NULL ratio.
+
+    Scale shape: ONE Arrow-batched pandas stage for the deflate length
+    (zlib is deterministic for a fixed level), raw length and the ratio
+    pure codegen; map-only, no shuffle.
+    """
+
+    @F.pandas_udf(T.LongType())
+    def _deflate_len(s: pd.Series) -> pd.Series:
+        import zlib
+
+        return pd.Series(
+            [len(zlib.compress((t or "").encode("utf-8"), level)) for t in s],
+            dtype="int64",
+        )
+
+    raw = F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    out = df.withColumn("raw_bytes", raw).withColumn(
+        "deflate_bytes", _deflate_len(F.col(text_col))
+    )
+    return out.withColumn(
+        "ratio_micro",
+        F.when(
+            F.col("raw_bytes") > 0,
+            # int64 `div`, never float division: deflate*1e6 can pass 2^53
+            # on huge docs and floor(double) would drift off by one
+            F.expr("(deflate_bytes * CAST(1000000 AS BIGINT)) div raw_bytes"),
+        ).cast("long"),
+    )
