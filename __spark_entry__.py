@@ -2633,6 +2633,54 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_wat_ingest(spark, sf_dir):
+    """WAT source (Common Crawl metadata records): deterministic per-doc
+    outlink lists re-archived as one .wat.gz (JSON envelope per metadata
+    record, sources.warc.write_wat), then stream-parsed back into
+    (url, links) rows task-parallel by read_wat and exploded. The
+    synthesis is driver-side test plumbing (same pattern as warc_ingest);
+    the distributed JSON-envelope parse is what's under test. Oracle
+    regenerates the link rows straight from (source, doc_id)."""
+    import os
+    import tempfile
+
+    from upton_spark.sources.warc import read_wat, write_wat
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id", "source").orderBy("doc_id").collect()
+    )
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (
+            f"http://{r['source']}/d/{r['doc_id']}",
+            ts,
+            [
+                (f"http://{r['source']}/p/{r['doc_id']}", f"anchor {r['doc_id']}"),
+                (None, "bare"),
+            ],
+        )
+        for r in docs
+    ]
+    fd, path = tempfile.mkstemp(suffix=".wat.gz")
+    os.close(fd)
+    try:
+        write_wat(rows, path)
+        wat = read_wat(spark, [path])
+        out = wat.select(
+            "url", F.posexplode("links").alias("pos", "l")
+        ).select(
+            "url",
+            F.col("pos").cast("long").alias("pos"),
+            F.col("l.href").alias("href"),
+            F.col("l.anchor").alias("anchor"),
+        )
+        return out.orderBy("url", "pos").localCheckpoint()
+    finally:
+        os.unlink(path)
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib-deflate compression ratio per document (operators.textops.
     compression_ratio): the cheap gibberish/template quality detector —
@@ -2886,6 +2934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,  # new in r5 (sharded postings)
         "charset_stats": q_charset_stats,  # new in r5 (WHATWG charset sniff)
         "compression_ratio": q_compression_ratio,  # new in r5 (deflate quality)
+        "wat_ingest": q_wat_ingest,  # new in r5 (Common Crawl WAT metadata)
     })
 
 
@@ -4902,5 +4951,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT charset, bom, CAST(count(*) AS BIGINT) AS n_pages
             FROM lab GROUP BY charset, bom ORDER BY charset, bom
+        """,
+        "wat_ingest": """
+            WITH d AS (SELECT doc_id, source FROM documents),
+            l AS (
+              SELECT 'http://' || source || '/d/' || doc_id AS url,
+                     CAST(0 AS BIGINT) AS pos,
+                     'http://' || source || '/p/' || doc_id AS href,
+                     'anchor ' || doc_id AS anchor
+              FROM d
+              UNION ALL
+              SELECT 'http://' || source || '/d/' || doc_id,
+                     CAST(1 AS BIGINT), NULL, 'bare'
+              FROM d
+            )
+            SELECT url, pos, href, anchor FROM l ORDER BY url, pos
         """,
     }

@@ -252,6 +252,11 @@ HEADLINE_QUERIES = [
     "freshness_planned_admission",  # r5: staleness-planned schedule
     "shard_manifest",  # r5: balanced output sharding manifest
     "adaptive_delay",  # r5: latency-tuned politeness aggregate
+    "tfidf_keywords",  # r5: per-doc tf-idf top-k (explode + df rollup)
+    "inverted_index",  # r5: sharded postings build (head-term split)
+    "dup_representatives",  # r5: quality-aware keep-best-copy (struct-min)
+    "compression_ratio",  # r5: zlib deflate quality signal (one Arrow stage)
+    "charset_stats",  # r5: WHATWG charset sniff rollup (pure codegen)
 ]
 
 

@@ -233,3 +233,78 @@ def test_wet_round_trip_and_pipeline(spark, tmp_path):
     assert back.count() == len(ext)
     texts = {r["text"] for r in back.collect()}
     assert "Six Facts Lost in the IRS Scandal" in texts
+
+
+def test_wat_round_trip_and_from_pages(spark, tmp_path):
+    """WAT write -> distributed read round-trips (url, ts, links) incl.
+    NULL hrefs/anchors and empty link lists; wat_from_pages generates the
+    same link structs the anchor extraction UDF produces over real
+    fixture html; malformed JSON payloads parse to empty links, never a
+    task abort."""
+    from datetime import datetime
+
+    from upton_spark.sources.warc import (
+        read_wat,
+        wat_from_pages,
+        wat_rows_from_file,
+        write_wat,
+    )
+
+    rows = [
+        (
+            "http://a.com/1",
+            datetime(2024, 3, 1, 12, 0, 0),
+            [("http://a.com/x", "anchor x"), (None, "bare"), ("http://a.com/y", None)],
+        ),
+        ("http://a.com/2", datetime(2024, 3, 2, 0, 0, 0), []),
+    ]
+    p = str(tmp_path / "x.wat.gz")
+    write_wat(rows, p)
+    got = {
+        r["url"]: [(l["href"], l["anchor"]) for l in r["links"]]
+        for r in read_wat(spark, p).collect()
+    }
+    assert got["http://a.com/1"] == rows[0][2]
+    assert got["http://a.com/2"] == []
+
+    # generation side: fixture pages -> WAT rows == the anchors UDF output
+    from upton_spark.functions.udfs import extract_anchors_udf
+    from upton_spark.sources.fixtures import fixture_pages
+    from pyspark.sql import functions as F
+
+    pages = fixture_pages(spark)
+    wat = wat_from_pages(pages, selector="a")
+    direct = pages.select(
+        "url",
+        extract_anchors_udf(F.col("html"), F.lit("a"), F.col("url")).alias("links"),
+    )
+    a = {r["url"]: r["links"] for r in wat.collect()}
+    b = {r["url"]: r["links"] for r in direct.collect()}
+    assert a == b
+    assert any(len(v) > 0 for v in a.values())
+
+    # full cycle: generated WAT file reads back with identical links
+    gen = [
+        (r["url"], datetime(2024, 3, 1), [(l["href"], l["anchor"]) for l in r["links"]])
+        for r in wat.collect()
+    ]
+    p2 = str(tmp_path / "gen.wat")
+    write_wat(gen, p2)
+    back = {
+        r["url"]: [(l["href"], l["anchor"]) for l in r["links"]]
+        for r in read_wat(spark, p2).collect()
+    }
+    assert back == {u: ls for u, _ts, ls in gen}
+
+    # malformed payload -> empty links row, stream keeps going
+    body = b"not json {"
+    head = (
+        "WARC/1.0\r\nWARC-Type: metadata\r\n"
+        "WARC-Target-URI: http://bad.com/\r\n"
+        "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    p3 = str(tmp_path / "bad.wat")
+    with open(p3, "wb") as f:
+        f.write(head + body + b"\r\n\r\n")
+    assert list(wat_rows_from_file(p3))[0][2] == []

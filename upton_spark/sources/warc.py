@@ -240,3 +240,133 @@ def write_wet(rows, path: str, compress: bool | None = None) -> None:
         for url, ts, text in rows:
             data = record(url, ts, text)
             f.write(gzip.compress(data) if compress else data)
+
+
+# --------------------------------------------------------------------------
+# WAT (Common Crawl "metadata" records, public convention over ISO 28500):
+# the link-graph distribution format — WARC-Type: metadata, Content-Type:
+# application/json, payload = a JSON envelope whose
+# Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata.Links list
+# carries the page's outlinks ({"path": "A@/href", "url": ..., "text": ...}).
+# Together with WARC (raw) and WET (text) this completes the format family
+# Common Crawl actually publishes.
+# --------------------------------------------------------------------------
+
+WAT_SCHEMA = (
+    "url string, warc_ts timestamp, "
+    "links array<struct<href:string,anchor:string>>"
+)
+
+
+def wat_rows_from_file(path: str):
+    """Yield (url, warc_ts, links) rows from one WAT file (plain or .gz);
+    links = [(href, anchor), ...] from the envelope's HTML-Metadata.Links
+    list. Malformed JSON payloads yield an empty link list (loud via the
+    row, never a task abort — archive metadata lies like everything else)."""
+    import json
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        stream = f if path.endswith(".gz") else io.BufferedReader(f)
+        for headers, payload in iter_warc_records(stream):
+            url = headers.get("warc-target-uri")
+            if headers.get("warc-type") != "metadata" or not url:
+                continue
+            links: list[tuple[str | None, str | None]] = []
+            try:
+                env = json.loads(payload.decode("utf-8", errors="replace"))
+                raw = (
+                    env.get("Envelope", {})
+                    .get("Payload-Metadata", {})
+                    .get("HTTP-Response-Metadata", {})
+                    .get("HTML-Metadata", {})
+                    .get("Links", [])
+                )
+                for l in raw:
+                    if isinstance(l, dict):
+                        links.append((l.get("url"), l.get("text")))
+            except (ValueError, AttributeError):
+                links = []
+            yield (url, _parse_warc_date(headers.get("warc-date")), links)
+
+
+def read_wat(spark: SparkSession, paths: str | list[str], tasks: int | None = None) -> DataFrame:
+    """WAT file(s)/glob → (url, warc_ts, links) DataFrame, parsed
+    task-parallel (see _read_archives) — the entry point for link-graph
+    pipelines that start from Common Crawl's metadata distribution
+    instead of parsing raw html themselves."""
+    return _read_archives(
+        spark, paths, wat_rows_from_file, WAT_SCHEMA, ["url", "warc_ts", "links"], tasks
+    )
+
+
+def write_wat(rows, path: str, compress: bool | None = None) -> None:
+    """(url, warc_ts, links) rows → one WAT file (metadata records; links =
+    [(href, anchor), ...]). The JSON envelope is emitted with sorted keys
+    and compact separators so output bytes are deterministic — shard
+    manifests and round-trip tests depend on bit-stable archives."""
+    import json
+
+    compress = path.endswith(".gz") if compress is None else compress
+
+    def record(url: str, ts, links) -> bytes:
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {
+                                    "path": "A@/href",
+                                    **({"url": h} if h is not None else {}),
+                                    **({"text": a} if a is not None else {}),
+                                }
+                                for h, a in (links or [])
+                            ]
+                        }
+                    }
+                },
+            }
+        }
+        body = json.dumps(env, separators=(",", ":"), sort_keys=True).encode()
+        stamp = (ts or datetime(2024, 1, 1)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        head = (
+            f"WARC/1.0\r\n"
+            f"WARC-Type: metadata\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {stamp}\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"\r\n"
+        ).encode()
+        return head + body + _CRLF + _CRLF
+
+    with open(path, "wb") as f:
+        for url, ts, links in rows:
+            data = record(url, ts, links)
+            f.write(gzip.compress(data) if compress else data)
+
+
+def wat_from_pages(
+    pages: DataFrame,
+    selector: str = "a",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """PAGES → WAT metadata rows: per-page outlinks (href resolved against
+    the page's own url, anchor text) extracted by the real html engine in
+    ONE Arrow-batched stage — the generation side of the WAT family, so a
+    crawl's link graph ships in the format downstream consumers (link
+    analysis, PageRank seeds, anchor corpora) already read. Map-only, the
+    html never leaves the executor."""
+    from upton_spark.functions.udfs import extract_anchors_udf
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("warc_ts"),
+        extract_anchors_udf(
+            F.col(html_col), F.lit(selector), F.col(url_col)
+        ).alias("links"),
+    )
