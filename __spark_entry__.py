@@ -2633,6 +2633,47 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_host_graph(spark, sf_dir):
+    """Domain-level webgraph rollup (operators.webgraph.host_graph): the
+    aggregate artifact Common Crawl publishes alongside its page crawls —
+    one weighted edge per registrable-domain pair. The synthetic URL
+    link graph (same integer edge map as pagerank/HITS) gets per-doc
+    www./m./bare subdomains injected, which the PSL broadcast match must
+    collapse back to the eTLD+1 before the ONE (src, dst) site-pair
+    aggregate. Oracle replays the integer edge map + lower(source).com
+    grouping directly."""
+    from upton_spark.operators.webgraph import host_graph, synth_link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synth_link_graph(docs, fanout=3)
+    meta = docs.select("doc_id", "source")
+    sub = lambda c: F.element_at(  # noqa: E731
+        F.array(F.lit("www."), F.lit(""), F.lit("m.")),
+        (F.pmod(c, F.lit(3)) + 1).cast("int"),
+    )
+    links = (
+        edges.join(meta.withColumnRenamed("doc_id", "src"), "src")
+        .withColumnRenamed("source", "src_source")
+        .join(
+            meta.withColumnRenamed("doc_id", "dst").withColumnRenamed(
+                "source", "dst_source"
+            ),
+            "dst",
+        )
+        .select(
+            F.concat(
+                F.lit("http://"), sub(F.col("src")), F.col("src_source"),
+                F.lit(".com/d/"), F.col("src"),
+            ).alias("src_url"),
+            F.concat(
+                F.lit("http://"), sub(F.col("dst")), F.col("dst_source"),
+                F.lit(".com/p/"), F.col("dst"),
+            ).alias("dst_url"),
+        )
+    )
+    return host_graph(links, level="domain").orderBy("src_site", "dst_site")
+
+
 def q_wat_ingest(spark, sf_dir):
     """WAT source (Common Crawl metadata records): deterministic per-doc
     outlink lists re-archived as one .wat.gz (JSON envelope per metadata
@@ -2935,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charset_stats": q_charset_stats,  # new in r5 (WHATWG charset sniff)
         "compression_ratio": q_compression_ratio,  # new in r5 (deflate quality)
         "wat_ingest": q_wat_ingest,  # new in r5 (Common Crawl WAT metadata)
+        "host_graph": q_host_graph,  # new in r5 (domain-level webgraph rollup)
     })
 
 
@@ -4966,5 +5008,26 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT url, pos, href, anchor FROM l ORDER BY url, pos
+        """,
+        "host_graph": """
+            WITH nodes AS (SELECT doc_id, source FROM documents),
+            nn AS (SELECT COUNT(*) AS n FROM nodes),
+            edges AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT d.doc_id AS src,
+                       (d.doc_id*d.doc_id + 7*k.k*d.doc_id + k.k + 1) % nn.n AS dst
+                FROM nodes d CROSS JOIN nn
+                CROSS JOIN (VALUES (0),(1),(2)) k(k)
+              ) WHERE src <> dst
+            ),
+            j AS (
+              SELECT lower(s.source) || '.com' AS src_site,
+                     lower(t.source) || '.com' AS dst_site
+              FROM edges e
+              JOIN nodes s ON e.src = s.doc_id
+              JOIN nodes t ON e.dst = t.doc_id
+            )
+            SELECT src_site, dst_site, CAST(count(*) AS BIGINT) AS n_links
+            FROM j GROUP BY src_site, dst_site ORDER BY src_site, dst_site
         """,
     }

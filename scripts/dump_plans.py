@@ -212,6 +212,33 @@ CLAIMS = {
         "with codegen clamping — no Python, no window",
         ["HashAggregate", "!BatchEvalPython", "!ArrowEvalPython", "!Window"],
     ),
+    "tfidf_keywords": (
+        "corpus size N arrives broadcast (1-row nested-loop side, never a "
+        "row-multiplying CartesianProduct); the whole tf/df/score chain is "
+        "JVM-side — no Python",
+        ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython",
+         "!ArrowEvalPython"],
+    ),
+    "inverted_index": (
+        "postings build is partial-aggregable groupBys only — no window "
+        "sort, no Python; head-term sharding happens in the grouping key",
+        ["HashAggregate", "!Window", "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
+    "dup_representatives": (
+        "keep-best-copy is one struct-min aggregate over the component "
+        "join — no window, no pairwise join shapes",
+        ["!Window", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ),
+    "compression_ratio": (
+        "one Arrow deflate stage; ratio arithmetic codegen (int64 div), "
+        "no row-at-a-time Python",
+        ["ArrowEvalPython", "!BatchEvalPython"],
+    ),
+    "charset_stats": (
+        "WHATWG charset sniff is pure codegen (hex BOM probe + one "
+        "regexp over the cast head) + one small rollup — no Python",
+        ["!BatchEvalPython", "!ArrowEvalPython", "HashAggregate"],
+    ),
 }
 
 

@@ -688,3 +688,59 @@ def test_resolve_redirects_matches_linear_walk_on_random_graphs(spark):
         for r in resolve_redirects(df, max_hops=MAX_HOPS).collect()
     }
     assert got == expected
+
+
+class TestHostGraph:
+    def test_host_level_counts_and_self_loops(self, spark):
+        from upton_spark.operators.webgraph import host_graph
+
+        links = spark.createDataFrame(
+            [
+                ("http://A.com/1", "http://b.com/x"),
+                ("http://a.com/2", "http://B.com/y"),
+                ("http://a.com/3", "http://a.com/4"),   # intra-site: kept
+                ("http://c.com/1", None),               # unparseable: dropped
+            ],
+            "src_url string, dst_url string",
+        )
+        rows = {
+            (r["src_site"], r["dst_site"]): r["n_links"]
+            for r in host_graph(links).collect()
+        }
+        assert rows[("a.com", "b.com")] == 2  # case-folded hosts merge
+        assert rows[("a.com", "a.com")] == 1
+        assert len(rows) == 2
+
+    def test_domain_level_collapses_subdomains_drops_bare_suffix(self, spark):
+        from upton_spark.operators.webgraph import host_graph
+
+        links = spark.createDataFrame(
+            [
+                ("http://www.foo.com/1", "http://bar.com/x"),
+                ("http://m.foo.com/2", "http://cdn.bar.com/y"),
+                ("http://foo.com/3", "http://bar.com/z"),
+                ("http://com/1", "http://bar.com/q"),   # bare suffix: dropped
+            ],
+            "src_url string, dst_url string",
+        )
+        rows = {
+            (r["src_site"], r["dst_site"]): r["n_links"]
+            for r in host_graph(links, level="domain").collect()
+        }
+        assert rows == {("foo.com", "bar.com"): 3}
+
+    def test_plan_no_window_no_python(self, spark):
+        import pytest
+        from upton_spark.operators.webgraph import host_graph
+
+        links = spark.createDataFrame(
+            [("http://a.com/1", "http://b.com/x")],
+            "src_url string, dst_url string",
+        )
+        for level in ("host", "domain"):
+            out = host_graph(links, level=level)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan
+            assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        with pytest.raises(ValueError):
+            host_graph(links, level="tld")

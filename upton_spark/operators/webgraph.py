@@ -799,3 +799,47 @@ def url_trap_scores(df: DataFrame, url_col: str = "url") -> DataFrame:
             | (F.col("has_calendar") & (F.col("depth") >= 4)),
         )
     )
+
+
+def host_graph(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+    level: str = "host",
+) -> DataFrame:
+    """URL-level link edges → the HOST- or DOMAIN-level webgraph — the
+    aggregate artifact Common Crawl actually publishes alongside its page
+    crawls (cc host/domain webgraph releases): one weighted edge per
+    (src, dst) site pair. ``level='host'`` keys on the lowercased url
+    host (pure codegen ``parse_url``); ``level='domain'`` collapses
+    mirrors/subdomains to the registrable domain (eTLD+1) via the
+    broadcast PSL match — edges whose side has no registrable domain
+    (bare suffixes, single labels) drop loudly rather than grouping
+    under a fake key. Self-loops (intra-site links) are kept — consumers
+    filter them; dropping silently would misreport site link counts.
+
+    Scale shape: host extraction / PSL match are map-side (codegen +
+    broadcast dims), then ONE partial-aggregable groupBy on the (src,
+    dst) site pair — at 10^10 edges the exchange carries site pairs, not
+    URLs, and partial aggregation collapses each task's local duplicates
+    before the shuffle. Nothing pairwise, no window.
+    """
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be 'host' or 'domain', got {level!r}")
+    edges = links.select(
+        F.lower(F.parse_url(F.col(src_col), F.lit("HOST"))).alias("src_host"),
+        F.lower(F.parse_url(F.col(dst_col), F.lit("HOST"))).alias("dst_host"),
+    ).filter(F.col("src_host").isNotNull() & F.col("dst_host").isNotNull())
+    if level == "domain":
+        edges = registrable_domains(edges, host_col="src_host", out_col="src_site")
+        edges = registrable_domains(edges, host_col="dst_host", out_col="dst_site")
+        edges = edges.filter(
+            F.col("src_site").isNotNull() & F.col("dst_site").isNotNull()
+        )
+    else:
+        edges = edges.select(
+            F.col("src_host").alias("src_site"), F.col("dst_host").alias("dst_site")
+        )
+    return edges.groupBy("src_site", "dst_site").agg(
+        F.count("*").cast("long").alias("n_links")
+    )
