@@ -2744,9 +2744,10 @@ def _compression_ratio_oracle() -> str | None:
     """compression_ratio oracle: pure-Python zlib replay over the sf0.01
     parquet text at generation time — independent of the Spark execution
     path (the Arrow stage, the codegen ratio arithmetic)."""
+    import zlib
+
     try:
         import duckdb
-        import zlib
 
         con = duckdb.connect()
         rows = con.execute(
@@ -2757,8 +2758,6 @@ def _compression_ratio_oracle() -> str | None:
         return None
     if not rows:
         return None
-    import zlib
-
     vals = []
     for d, t in rows:
         raw = (t or "").encode("utf-8")
@@ -2822,8 +2821,29 @@ def q_charset_stats(spark, sf_dir):
 # have driver evidence before R, so its staleness clock starts at R-1 —
 # ranking it by rounds-MISSED rather than lumping every never-green entry
 # (a 2-rounds-overdue r4 query and a brand-new one) into one bucket.
-# Only never-green entries need a row here; green entries use the ledger.
-_FIRST_REGISTERED_ROUND = {"link_hits": 4}
+# Only never-green entries need a row here (green entries use the ledger),
+# but EVERY ledger-absent registration must appear — a missing entry would
+# silently default to "registered this round" after a _CURRENT_ROUND bump,
+# reproducing the lumped-bucket bug; TestDriverRotation enforces coverage.
+_FIRST_REGISTERED_ROUND = {
+    "link_hits": 4,
+    # round-5 registrations (never driver-checked as of the r4 artifact)
+    **{
+        name: 5
+        for name in (
+            "media_real_decode", "media_sample_frames", "sitemap_discovery",
+            "hits_planned_admission", "surt_keys", "host_split",
+            "anchor_stats", "cdx_index", "text_normalize", "sitemap_entries",
+            "sitemap_planned_admission", "meta_refresh", "canonical_links",
+            "sniff_type", "registrable_domains", "domain_split",
+            "trap_scores", "discovery_chain", "redirect_chains",
+            "main_content", "crawl_content", "change_rate",
+            "freshness_planned_admission", "shard_manifest", "adaptive_delay",
+            "dup_representatives", "tfidf_keywords", "inverted_index",
+            "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
+        )
+    },
+}
 _CURRENT_ROUND = 5
 
 

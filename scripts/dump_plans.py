@@ -239,6 +239,13 @@ CLAIMS = {
         "regexp over the cast head) + one small rollup — no Python",
         ["!BatchEvalPython", "!ArrowEvalPython", "HashAggregate"],
     ),
+    "host_graph": (
+        "domain-level webgraph: PSL match broadcast-only, one site-pair "
+        "partial aggregate — the exchange carries site pairs, not URLs; "
+        "no window, no Python",
+        ["BroadcastHashJoin", "HashAggregate", "!Window",
+         "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
 }
 
 

@@ -252,24 +252,45 @@ class TestDriverRotation:
         overdue = [
             n for n in order if n in ledger and ledger[n] <= mod._CURRENT_ROUND - 2
         ]
-        pre_r5_never = [
+        pre_round_never = [
             n
             for n, r in mod._FIRST_REGISTERED_ROUND.items()
             if n not in ledger and r < mod._CURRENT_ROUND
         ]
-        for name in overdue + pre_r5_never:
+        for name in overdue + pre_round_never:
             assert name in top, f"{name} is overdue but below the 50-row cap"
-        # never-green same-round registrations rank AFTER the overdue block
-        stale_max = max(order.index(n) for n in overdue + pre_r5_never)
+        # never-green CURRENT-round registrations rank AFTER the overdue
+        # block (they have missed zero rounds)
+        stale_max = max(order.index(n) for n in overdue + pre_round_never)
         fresh_new = [
             n
-            for n in order
-            if n not in ledger and n not in mod._FIRST_REGISTERED_ROUND
+            for n, r in mod._FIRST_REGISTERED_ROUND.items()
+            if n not in ledger and r == mod._CURRENT_ROUND
         ]
-        assert fresh_new, "expected round-5 registrations in the registry"
+        assert fresh_new, "expected current-round registrations in the registry"
         assert min(order.index(n) for n in fresh_new) > stale_max
 
     def test_rotation_preserves_the_registry(self):
         mod = self._entry()
         rotated = mod.queries()
         assert set(rotated) == set(mod.oracle_sql())
+
+    def test_every_ledger_absent_query_has_a_registration_round(self):
+        """A ledger-absent query missing from _FIRST_REGISTERED_ROUND would
+        silently default to 'registered this round' after a _CURRENT_ROUND
+        bump, reproducing the lumped-bucket ordering bug — every
+        never-green registration must carry its round explicitly."""
+        import json
+
+        mod = self._entry()
+        ledger = json.load(open("/root/repo/GREEN_ROUNDS.json"))["last_green"]
+        missing = [
+            n
+            for n in mod.queries()
+            if n not in ledger and n not in mod._FIRST_REGISTERED_ROUND
+        ]
+        assert missing == [], (
+            f"add these to _FIRST_REGISTERED_ROUND with the current round: {missing}"
+        )
+        for name, rnd in mod._FIRST_REGISTERED_ROUND.items():
+            assert 1 <= rnd <= mod._CURRENT_ROUND

@@ -210,6 +210,21 @@ class TestCompressionRatio:
         assert out[1]["ratio_micro"] < out[2]["ratio_micro"]
         assert out[3]["ratio_micro"] is None
 
+    def test_null_text_counts_as_empty_consistently(self, spark):
+        """NULL text must yield raw_bytes 0 (matching the UDF's (t or '')
+        deflate of the empty string), not a null-propagated raw with a
+        non-null deflate — the generation-time oracle replays NULL as
+        empty."""
+        import zlib
+
+        from upton_spark.operators.textops import compression_ratio
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        r = compression_ratio(df).collect()[0]
+        assert r["raw_bytes"] == 0
+        assert r["deflate_bytes"] == len(zlib.compress(b"", 6))
+        assert r["ratio_micro"] is None
+
     def test_map_only_single_arrow_stage(self, spark):
         from upton_spark.operators.textops import compression_ratio
 

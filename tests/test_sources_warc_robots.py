@@ -296,7 +296,8 @@ def test_wat_round_trip_and_from_pages(spark, tmp_path):
     }
     assert back == {u: ls for u, _ts, ls in gen}
 
-    # malformed payload -> empty links row, stream keeps going
+    # malformed payloads -> empty links row, stream keeps going: broken
+    # JSON, and VALID JSON whose Links field is null / not a list
     body = b"not json {"
     head = (
         "WARC/1.0\r\nWARC-Type: metadata\r\n"
@@ -308,3 +309,20 @@ def test_wat_round_trip_and_from_pages(spark, tmp_path):
     with open(p3, "wb") as f:
         f.write(head + body + b"\r\n\r\n")
     assert list(wat_rows_from_file(p3))[0][2] == []
+    for i, payload in enumerate([
+        b'{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        b'{"HTML-Metadata":{"Links":null}}}}}',
+        b'{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        b'{"HTML-Metadata":{"Links":"nope"}}}}}',
+        b'{"Envelope":null}',
+    ]):
+        pbad = str(tmp_path / f"bad{i}.wat")
+        head_i = (
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Target-URI: http://bad.com/\r\n"
+            "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        with open(pbad, "wb") as f:
+            f.write(head_i + payload + b"\r\n\r\n")
+        assert list(wat_rows_from_file(pbad))[0][2] == []

@@ -628,7 +628,11 @@ def compression_ratio(
             dtype="int64",
         )
 
-    raw = F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long")
+    # NULL text counts as empty, matching the UDF's (t or '') — a bare
+    # encode() would null-propagate and disagree with deflate_bytes
+    raw = F.octet_length(
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+    ).cast("long")
     out = df.withColumn("raw_bytes", raw).withColumn(
         "deflate_bytes", _deflate_len(F.col(text_col))
     )

@@ -282,10 +282,12 @@ def wat_rows_from_file(path: str):
                     .get("HTML-Metadata", {})
                     .get("Links", [])
                 )
-                for l in raw:
+                # a null / non-list Links field is valid JSON but malformed
+                # WAT — same empty-links contract, never a task abort
+                for l in raw if isinstance(raw, list) else []:
                     if isinstance(l, dict):
                         links.append((l.get("url"), l.get("text")))
-            except (ValueError, AttributeError):
+            except (ValueError, AttributeError, TypeError):
                 links = []
             yield (url, _parse_warc_date(headers.get("warc-date")), links)
 
