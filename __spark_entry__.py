@@ -2633,6 +2633,27 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup dedup against history (operators.dedup_docs.
+    incremental_near_dups): the NEW shard (doc_id%3==0) band-joins ONLY
+    against the already-deduped OLD corpus — never new×new, never
+    old×old (at 10^10 accumulated pages the old×old pair space is the
+    dominant cost a continuous crawl must skip). Band hashes are the
+    same contiguous-slice xxhash as the symmetric path, so the oracle is
+    the full-pipeline SQL replay filtered to pairs that straddle the
+    split, reoriented (new_id, old_id)."""
+    from upton_spark.operators.dedup_docs import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    return (
+        incremental_near_dups(new, old, threshold=0.5)
+        .select("new_id", "old_id", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("new_id", "old_id")
+    )
+
+
 def q_host_graph(spark, sf_dir):
     """Domain-level webgraph rollup (operators.webgraph.host_graph): the
     aggregate artifact Common Crawl publishes alongside its page crawls —
@@ -2841,6 +2862,7 @@ _FIRST_REGISTERED_ROUND = {
             "freshness_planned_admission", "shard_manifest", "adaptive_delay",
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
+            "incremental_dedup",
         )
     },
 }
@@ -2997,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,  # new in r5 (deflate quality)
         "wat_ingest": q_wat_ingest,  # new in r5 (Common Crawl WAT metadata)
         "host_graph": q_host_graph,  # new in r5 (domain-level webgraph rollup)
+        "incremental_dedup": q_incremental_dedup,  # new in r5 (new-vs-history LSH)
     })
 
 
@@ -4829,6 +4852,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower(source), '*', 'crawl-delay', '', 3.0 FROM s
         """,
         "minhash_near_dups": _minhash_oracle(),
+        "incremental_dedup": f"""
+            WITH p AS (SELECT * FROM ({_minhash_oracle()}) z)
+            SELECT CASE WHEN a % 3 = 0 THEN a ELSE b END AS new_id,
+                   CASE WHEN a % 3 = 0 THEN b ELSE a END AS old_id,
+                   jaccard
+            FROM p WHERE (a % 3 = 0) <> (b % 3 = 0)
+            ORDER BY new_id, old_id
+        """,
         "dup_clusters": _dup_clusters_oracle(),
         "benchmark_contamination": _contamination_oracle(),
         "stratified_sample": _stratified_sample_oracle(),

@@ -387,3 +387,42 @@ class TestCdcChunks:
         # all of doc 1's chunks except (at most) the first re-align in doc 2
         assert len(a - b) <= 1
         assert len(a) >= 10  # the property was tested on a real chunking
+
+
+class TestIncrementalNearDups:
+    def test_asymmetric_pairs_match_symmetric_crossing_pairs(self, spark):
+        """The incremental (new x old) output must equal exactly the
+        crossing pairs of a full symmetric run over new+old — band hashes
+        are shared, so collision behavior is identical — and must never
+        emit new x new or old x old pairs."""
+        from upton_spark.operators.dedup_docs import (
+            incremental_near_dups,
+            near_duplicates_minhash,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        rows = [
+            (1, base * 4),
+            (2, base * 4 + "tail change"),       # near-dup of 1
+            (3, "completely different text about spark shuffles " * 5),
+            (4, base * 4 + "other tail"),        # near-dup of 1 and 2
+            (5, "another unrelated document entirely " * 6),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        new = df.filter("doc_id % 2 = 0")     # {2, 4}
+        old = df.filter("doc_id % 2 = 1")     # {1, 3, 5}
+        inc = {
+            (r["new_id"], r["old_id"]): round(r["jaccard"], 6)
+            for r in incremental_near_dups(new, old, threshold=0.5).collect()
+        }
+        assert all(n % 2 == 0 and o % 2 == 1 for n, o in inc)
+        full = near_duplicates_minhash(df, threshold=0.5).collect()
+        crossing = {
+            ((r["a"], r["b"]) if r["a"] % 2 == 0 else (r["b"], r["a"])): round(
+                r["jaccard"], 6
+            )
+            for r in full
+            if (r["a"] % 2) != (r["b"] % 2)
+        }
+        assert inc == crossing
+        assert (2, 1) in inc and (4, 1) in inc  # the planted near-dups

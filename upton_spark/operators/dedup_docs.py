@@ -110,13 +110,12 @@ def minhash_signatures(
     return df.withColumn("signature", sig(F.col(text_col)))
 
 
-def lsh_candidate_pairs(
-    signed: DataFrame, key_col: str = "doc_id", n_bands: int = 16
-) -> DataFrame:
-    """Band the signatures, bucket-join, emit candidate (a, b) pairs with
-    a < b. Bands are contiguous signature slices hashed JVM-side."""
+def _band_table(signed: DataFrame, key_col: str, n_bands: int) -> DataFrame:
+    """(key, band, band_hash) rows: contiguous signature slices hashed
+    JVM-side — the shared banding step of the symmetric and incremental
+    LSH joins."""
     rows_per_band = F.floor(F.size("signature") / n_bands).cast("int")
-    banded = (
+    return (
         signed.select(key_col, "signature")
         .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))))
         .withColumn(
@@ -130,6 +129,14 @@ def lsh_candidate_pairs(
         )
         .select(key_col, "band", "band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame, key_col: str = "doc_id", n_bands: int = 16
+) -> DataFrame:
+    """Band the signatures, bucket-join, emit candidate (a, b) pairs with
+    a < b. Bands are contiguous signature slices hashed JVM-side."""
+    banded = _band_table(signed, key_col, n_bands)
     left = banded.withColumnRenamed(key_col, "a")
     right = banded.withColumnRenamed(key_col, "b")
     return (
@@ -755,4 +762,73 @@ def select_representatives(
         ),
         "n_members",
         (F.col("n_members") - 1).alias("n_dropped"),
+    )
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW shard against an already-deduped HISTORY — the
+    operational shape of a continuously-running crawl (each monthly
+    Common-Crawl-style snapshot dedups against every prior snapshot, not
+    just itself): the band join is ASYMMETRIC, new × old ONLY. Never
+    new × new (that is the ordinary :func:`near_duplicates_minhash` over
+    the shard) and never old × old (history is already deduped — at
+    10^10 accumulated pages the old × old pair space is the dominant
+    cost, and skipping it is the whole point).
+
+    Returns (new_id, old_id, jaccard) — new docs whose text
+    near-duplicates history; the caller anti-joins these out of the new
+    shard before appending it. Band hashes are the same contiguous-slice
+    xxhash as the symmetric path, so a (new, old) pair collides here
+    exactly when it would collide in a full-corpus run.
+
+    Scale shape: signatures are per-doc Arrow batches on each side; the
+    bucket join shuffles band tables (n_docs × n_bands rows), never
+    texts; exact-Jaccard verify touches only candidate pairs. At scale
+    the old side's band table is precomputed once per snapshot and
+    reused — it is a pure function of the old texts.
+    """
+    new_b = _band_table(
+        minhash_signatures(new_docs, text_col, n_hashes, shingle_k), key_col, n_bands
+    ).withColumnRenamed(key_col, "new_id")
+    old_b = _band_table(
+        minhash_signatures(old_docs, text_col, n_hashes, shingle_k), key_col, n_bands
+    ).withColumnRenamed(key_col, "old_id")
+    cand = (
+        new_b.join(old_b, ["band", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    new_texts = new_docs.select(
+        F.col(key_col).alias("new_id"), F.col(text_col).alias("text_a")
+    )
+    old_texts = old_docs.select(
+        F.col(key_col).alias("old_id"), F.col(text_col).alias("text_b")
+    )
+    joined = cand.join(new_texts, "new_id").join(old_texts, "old_id")
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        cache: dict = {}
+        for x, y in zip(ta, tb):
+            sa = _shingle_hashes(x, shingle_k, cache)
+            sb = _shingle_hashes(y, shingle_k, cache)
+            n_inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - n_inter
+            out.append(n_inter / union if union else 1.0)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", jac("text_a", "text_b"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
     )
