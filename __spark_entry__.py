@@ -2633,6 +2633,71 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus pipeline COMPOSITION — the stages are
+    individually oracle-checked elsewhere; this query proves they chain:
+    normalize (codegen stages of textops.normalize_text, form=None) →
+    quality gate (with_quality_stats, keep quality_score > 0) → exact
+    dedup on the normalized text among quality-passing docs
+    (first-occurrence keep via a partial-aggregable min-join, no window)
+    → ONE per-source rollup (docs in, quality-dropped, dup-dropped,
+    kept, kept ws-tokens). Scale shape: map-only codegen until the dedup
+    hash exchange, then one rollup; the oracle replays the identical
+    normalize/quality arithmetic and takes the first occurrence per
+    norm_text partition."""
+    from upton_spark.operators.textops import normalize_text, with_quality_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    # deterministic injection so every stage does real work on this data:
+    # doc_id%7==0 -> punctuation salad (the quality gate must drop it);
+    # else doc_id%5==1 -> one shared sentence (the dedup must keep exactly
+    # the first occurrence corpus-wide)
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("!!! ,,, ??? ;;; :::"))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.lit("the quick brown fox jumps over the lazy dog"),
+        )
+        .otherwise(F.col("text")),
+    )
+    q = with_quality_stats(normalize_text(docs, form=None))
+    p = q.select(
+        "doc_id",
+        "source",
+        "norm_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.col("quality_score") > 0).alias("passed"),
+    )
+    firsts = (
+        p.filter("passed")
+        .groupBy(F.md5("norm_text").alias("nh"))
+        .agg(F.min("doc_id").alias("first_id"))
+    )
+    d = p.withColumn("nh", F.md5("norm_text")).join(firsts, "nh", "left")
+    per_doc = d.select(
+        "source",
+        "passed",
+        (F.col("passed") & (F.col("doc_id") == F.col("first_id"))).alias("kept"),
+        "n_tokens",
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((~F.col("passed")).cast("long")).alias("n_quality_fail"),
+            F.sum((F.col("passed") & ~F.col("kept")).cast("long")).alias(
+                "n_dup_dropped"
+            ),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental near-dup dedup against history (operators.dedup_docs.
     incremental_near_dups): the NEW shard (doc_id%3==0) band-joins ONLY
@@ -2862,7 +2927,7 @@ _FIRST_REGISTERED_ROUND = {
             "freshness_planned_admission", "shard_manifest", "adaptive_delay",
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
-            "incremental_dedup",
+            "incremental_dedup", "corpus_pipeline",
         )
     },
 }
@@ -3020,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_ingest": q_wat_ingest,  # new in r5 (Common Crawl WAT metadata)
         "host_graph": q_host_graph,  # new in r5 (domain-level webgraph rollup)
         "incremental_dedup": q_incremental_dedup,  # new in r5 (new-vs-history LSH)
+        "corpus_pipeline": q_corpus_pipeline,  # new in r5 (e2e stage composition)
     })
 
 
@@ -4850,6 +4916,52 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             UNION ALL
             SELECT lower(source), '*', 'crawl-delay', '', 3.0 FROM s
+        """,
+        "corpus_pipeline": """
+            WITH src AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 7 = 0 THEN '!!! ,,, ??? ;;; :::'
+                          WHEN doc_id % 5 = 1
+                          THEN 'the quick brown fox jumps over the lazy dog'
+                          ELSE text END AS text
+              FROM documents
+            ), b AS (
+              SELECT doc_id, source,
+                     lower(trim(regexp_replace(regexp_replace(text,
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_text,
+                     length(text) AS n_chars_c,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS n_tokens,
+                     length(text) - length(regexp_replace(text, '[.,;:!?"''()]', '', 'g')) AS n_punct
+              FROM src
+            ), p AS (
+              SELECT doc_id, source, norm_text,
+                     CAST(n_tokens AS BIGINT) AS n_tokens,
+                     (CASE WHEN n_tokens >= 5
+                           AND (CASE WHEN n_tokens > 0
+                                THEN CAST(n_chars_c AS DOUBLE) / n_tokens
+                                ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+                           THEN 1.0 - least(1.0,
+                                (CASE WHEN n_chars_c > 0
+                                 THEN CAST(n_punct AS DOUBLE) / n_chars_c
+                                 ELSE 0.0 END) * 4)
+                           ELSE 0.0 END) > 0 AS passed
+              FROM b
+            ), d AS (
+              SELECT p.*,
+                     min(CASE WHEN passed THEN doc_id END)
+                       OVER (PARTITION BY norm_text) AS first_id
+              FROM p
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN NOT passed THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+                   CAST(sum(CASE WHEN passed AND doc_id <> first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_dropped,
+                   CAST(sum(CASE WHEN passed AND doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN passed AND doc_id = first_id THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+            FROM d GROUP BY source ORDER BY source
         """,
         "minhash_near_dups": _minhash_oracle(),
         "incremental_dedup": f"""

@@ -257,6 +257,8 @@ HEADLINE_QUERIES = [
     "dup_representatives",  # r5: quality-aware keep-best-copy (struct-min)
     "compression_ratio",  # r5: zlib deflate quality signal (one Arrow stage)
     "charset_stats",  # r5: WHATWG charset sniff rollup (pure codegen)
+    "host_graph",  # r5: domain-level webgraph rollup (PSL broadcast + one agg)
+    "incremental_dedup",  # r5: new-vs-history LSH band join (never old x old)
 ]
 
 

@@ -246,6 +246,11 @@ CLAIMS = {
         ["BroadcastHashJoin", "HashAggregate", "!Window",
          "!BatchEvalPython", "!ArrowEvalPython"],
     ),
+    "incremental_dedup": (
+        "new-vs-history dedup is a band-bucket join — no CartesianProduct "
+        "/ nested-loop pair join; texts shuffle only for candidate pairs",
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ),
 }
 
 
