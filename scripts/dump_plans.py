@@ -251,6 +251,12 @@ CLAIMS = {
         "/ nested-loop pair join; texts shuffle only for candidate pairs",
         ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ),
+    "corpus_pipeline": (
+        "normalize -> quality -> dedup -> rollup composes with codegen "
+        "stages, a partial-aggregable min-join for first-occurrence keep "
+        "(no window), and no Python anywhere",
+        ["HashAggregate", "!Window", "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
 }
 
 
