@@ -233,3 +233,109 @@ class TestCompressionRatio:
         assert "Exchange" not in plan
         assert plan.count("ArrowEvalPython") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestSearchPrimitiveProperties:
+    """Randomized-instance invariants (seeded, one Spark job per property —
+    the resolve_redirects random-graph pattern, not per-example hypothesis:
+    a Spark action per generated example would be pathologically slow)."""
+
+    def _random_docs(self, n=120, seed=17):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(40)]
+        return [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+            for i in range(n)
+        ]
+
+    def test_tfidf_matches_pure_python_on_random_corpus(self, spark):
+        import math
+
+        from upton_spark.operators.textops import tfidf_topk
+
+        rows = self._random_docs()
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = tfidf_topk(df, k=4).collect()
+        # pure-Python reference
+        tf: dict = {}
+        for d, t in rows:
+            for w in t.lower().split():
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+        dfreq: dict = {}
+        for (_, w), _c in tf.items():
+            dfreq[w] = dfreq.get(w, 0) + 1
+        n_docs = len(rows)
+        by_doc: dict = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, recs in by_doc.items():
+            recs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in recs] == list(range(1, len(recs) + 1))
+            # scores non-increasing; the tiebreak never inverts
+            for a, b in zip(recs, recs[1:]):
+                assert a["score"] > b["score"] or (
+                    a["score"] == b["score"] and a["term"] < b["term"]
+                )
+            for r in recs:
+                assert tf[(d, r["term"])] == r["tf"]
+                assert dfreq[r["term"]] == r["df"]
+                expect = r["tf"] * math.log((n_docs + 1) / (r["df"] + 1))
+                assert abs(r["score"] - round(expect, 6)) < 1e-9
+            # top-k really is top-k: every omitted term scores <= the cutoff
+            if len(recs) == 4:
+                cutoff = (recs[-1]["score"], recs[-1]["term"])
+                for (dd, w), c in tf.items():
+                    if dd == d and w not in {r["term"] for r in recs}:
+                        sc = round(c * math.log((n_docs + 1) / (dfreq[w] + 1)), 6)
+                        assert (sc, w) > cutoff or sc < cutoff[0]
+
+    def test_inverted_index_is_a_partition_of_the_td_pairs(self, spark):
+        from upton_spark.operators.textops import inverted_index
+
+        rows = self._random_docs(n=150, seed=23)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = inverted_index(df, shard_threshold=20, n_shards=4).collect()
+        # pure-Python reference of (term -> doc set)
+        ref: dict = {}
+        for d, t in rows:
+            for w in set(t.lower().split()):
+                ref.setdefault(w, set()).add(d)
+        got: dict = {}
+        for r in out:
+            assert r["postings"] == sorted(r["postings"])
+            assert r["shard_docs"] == len(r["postings"])
+            assert r["df"] == len(ref[r["term"]])
+            seen = got.setdefault(r["term"], set())
+            assert not (seen & set(r["postings"])), "shards must be disjoint"
+            seen.update(r["postings"])
+            if r["df"] > 20:
+                assert all(p % 4 == r["shard"] for p in r["postings"])
+            else:
+                assert r["shard"] == 0
+        assert got == ref  # shard union reconstructs every posting exactly
+
+    def test_host_graph_edge_conservation(self, spark):
+        import random
+        from urllib.parse import urlparse
+
+        from upton_spark.operators.webgraph import host_graph
+
+        rng = random.Random(31)
+        hosts = [f"h{i}.example.com" for i in range(9)]
+        edges = [
+            (
+                f"http://{rng.choice(hosts)}/p/{rng.randint(0, 50)}",
+                f"http://{rng.choice(hosts)}/q/{rng.randint(0, 50)}",
+            )
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(edges, "src_url string, dst_url string")
+        out = host_graph(df).collect()
+        assert sum(r["n_links"] for r in out) == len(edges)
+        ref: dict = {}
+        for s, d in edges:
+            k = (urlparse(s).hostname, urlparse(d).hostname)
+            ref[k] = ref.get(k, 0) + 1
+        assert {(r["src_site"], r["dst_site"]): r["n_links"] for r in out} == ref
