@@ -2633,6 +2633,38 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_embedding_sq8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column (operators.
+    similarity.quantize_embeddings — FAISS-family SQ8, 4× storage cut for
+    the column that IS the storage bill at 100 TB): per-vector (qmin,
+    qstep) + int codes. The codes are floor-half-up over deterministic
+    double expressions (no libm), so the oracle pins them EXACTLY via an
+    integer code_sum; reconstruction fidelity surfaces as the cosine
+    between the original and dequantized vector. Map-only codegen."""
+    from upton_spark.operators.similarity import (
+        cosine_col,
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id")
+    deq = dequantize_col(F.col("qmin"), F.col("qstep"), F.col("qvec"))
+    code_sum = F.aggregate(
+        "qvec", F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+    )
+    return joined.select(
+        "vec_id",
+        F.round("qmin", 6).alias("qmin"),
+        F.round("qstep", 6).alias("qstep"),
+        code_sum.alias("code_sum"),
+        # round 4, not 6: cos_recon clusters at 0.9999x where a 1-ulp
+        # fold-order difference between engines flips the 6th decimal
+        F.round(cosine_col(F.col("embedding"), deq), 4).alias("cos_recon"),
+    ).orderBy("vec_id")
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus pipeline COMPOSITION — the stages are
     individually oracle-checked elsewhere; this query proves they chain:
@@ -2927,7 +2959,7 @@ _FIRST_REGISTERED_ROUND = {
             "freshness_planned_admission", "shard_manifest", "adaptive_delay",
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
-            "incremental_dedup", "corpus_pipeline",
+            "incremental_dedup", "corpus_pipeline", "embedding_sq8",
         )
     },
 }
@@ -3086,6 +3118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_graph": q_host_graph,  # new in r5 (domain-level webgraph rollup)
         "incremental_dedup": q_incremental_dedup,  # new in r5 (new-vs-history LSH)
         "corpus_pipeline": q_corpus_pipeline,  # new in r5 (e2e stage composition)
+        "embedding_sq8": q_embedding_sq8,  # new in r5 (int8 scalar quantization)
     })
 
 
@@ -4889,6 +4922,30 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cosine
             FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+        """,
+        "embedding_sq8": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+            ), m AS (
+              SELECT vec_id, x, list_min(x) AS vmin,
+                     (list_max(x) - list_min(x)) / 255.0 AS step
+              FROM v
+            ), q AS (
+              SELECT vec_id, x, vmin, step,
+                     CASE WHEN step > 0
+                          THEN list_transform(x, e ->
+                               CAST(floor((e - vmin) / step + 0.5) AS INTEGER))
+                          ELSE list_transform(x, e -> 0) END AS qv
+              FROM m
+            ), d AS (
+              SELECT vec_id, x, vmin, step, qv,
+                     list_transform(qv, c -> vmin + c * step) AS deq
+              FROM q
+            )
+            SELECT vec_id, round(vmin, 6) AS qmin, round(step, 6) AS qstep,
+                   CAST(list_sum(qv) AS BIGINT) AS code_sum,
+                   round(list_cosine_similarity(x, deq), 4) AS cos_recon
+            FROM d ORDER BY vec_id
         """,
         "embedding_topk": """
             SELECT vec_id,

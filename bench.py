@@ -259,6 +259,7 @@ HEADLINE_QUERIES = [
     "charset_stats",  # r5: WHATWG charset sniff rollup (pure codegen)
     "host_graph",  # r5: domain-level webgraph rollup (PSL broadcast + one agg)
     "incremental_dedup",  # r5: new-vs-history LSH band join (never old x old)
+    "embedding_sq8",  # r5: int8 scalar quantization (codegen, exact codes)
 ]
 
 

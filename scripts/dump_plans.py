@@ -257,6 +257,11 @@ CLAIMS = {
         "(no window), and no Python anywhere",
         ["HashAggregate", "!Window", "!BatchEvalPython", "!ArrowEvalPython"],
     ),
+    "embedding_sq8": (
+        "SQ8 quantize + dequant fidelity is map-only codegen array math — "
+        "no Python, nothing pairwise",
+        ["!BatchEvalPython", "!ArrowEvalPython", "!CartesianProduct"],
+    ),
 }
 
 

@@ -287,3 +287,91 @@ def test_semantic_dedup_hot_cell_protection_default_on(spark):
     }
     all_ids = {r[0] for r in rows}
     assert (all_ids - kept_prot) <= (all_ids - kept_flat)
+
+
+class TestSq8Quantization:
+    def test_codes_bounded_and_reconstruction_error_within_half_step(self, spark):
+        from upton_spark.operators.similarity import (
+            dequantize_col,
+            quantize_embeddings,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        q = quantize_embeddings(emb)
+        joined = emb.join(q, "vec_id")
+        err = F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                dequantize_col(F.col("qmin"), F.col("qstep"), F.col("qvec")),
+                lambda x, y: F.abs(x - y),
+            )
+        )
+        rows = joined.select(
+            "vec_id",
+            err.alias("max_err"),
+            F.col("qstep"),
+            F.array_min("qvec").alias("qlo"),
+            F.array_max("qvec").alias("qhi"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["qlo"] and r["qhi"] <= 255
+            # half-step bound (+ tiny fp slack) is THE SQ8 guarantee
+            assert r["max_err"] <= r["qstep"] * 0.5 + 1e-12
+
+    def test_degenerate_constant_vector(self, spark):
+        from upton_spark.operators.similarity import (
+            dequantize_col,
+            quantize_embeddings,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, [0.25, 0.25, 0.25])], "vec_id long, embedding array<float>"
+        )
+        q = quantize_embeddings(df)
+        r = q.select(
+            "qmin", "qstep", "qvec",
+            dequantize_col(F.col("qmin"), F.col("qstep"), F.col("qvec")).alias("deq"),
+        ).collect()[0]
+        assert r["qstep"] == 0.0 and r["qvec"] == [0, 0, 0]
+        assert all(abs(v - 0.25) < 1e-7 for v in r["deq"])
+
+    def test_sq8_topk_recall_vs_exact(self, spark):
+        from upton_spark.operators.similarity import (
+            cosine_col,
+            quantize_embeddings,
+            sq8_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qvec = emb.filter("vec_id = 0").select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("qvec_query")
+        )
+        exact = [
+            r["vec_id"]
+            for r in emb.crossJoin(F.broadcast(qvec))
+            .select(
+                "vec_id",
+                F.round(cosine_col(F.col("embedding"), F.col("qvec_query")), 6).alias("c"),
+            )
+            .orderBy(F.desc("c"), "vec_id")
+            .limit(10)
+            .collect()
+        ]
+        approx = [
+            r["vec_id"] for r in sq8_topk(quantize_embeddings(emb), qvec, k=10).collect()
+        ]
+        assert len(set(exact) & set(approx)) >= 8  # 8-bit codes keep recall
+        assert approx[0] == 0  # the query vector itself must top the list
+
+    def test_quantize_is_pure_codegen(self, spark):
+        from upton_spark.operators.similarity import quantize_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.9])], "vec_id long, embedding array<float>"
+        )
+        plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
