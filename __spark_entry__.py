@@ -2633,6 +2633,30 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (operators.webgraph.mirror_host_pairs): each
+    even-length source gets an injected 'm-' twin carrying 3/4 of its
+    pages (doc_id%4!=0), so the content-hash overlap join must find
+    exactly those twins at Jaccard 0.75 and nothing else past the 0.5
+    threshold. The pair join is keyed on content_hash — hosts meet only
+    where they share a page, never |hosts|². Oracle replays the identical
+    distinct/rollup/overlap chain in SQL."""
+    from upton_spark.operators.webgraph import mirror_host_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        F.col("source").alias("host"), F.md5("text").alias("content_hash")
+    )
+    mirror = docs.filter(
+        (F.length("source") % 2 == 0) & (F.col("doc_id") % 4 != 0)
+    ).select(
+        F.concat(F.lit("m-"), F.col("source")).alias("host"),
+        F.md5("text").alias("content_hash"),
+    )
+    pages = base.unionByName(mirror)
+    return mirror_host_pairs(pages, threshold=0.5).orderBy("host_a", "host_b")
+
+
 def q_embedding_sq8(spark, sf_dir):
     """Int8 scalar quantization of the embedding column (operators.
     similarity.quantize_embeddings — FAISS-family SQ8, 4× storage cut for
@@ -2960,6 +2984,7 @@ _FIRST_REGISTERED_ROUND = {
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
             "incremental_dedup", "corpus_pipeline", "embedding_sq8",
+            "mirror_hosts",
         )
     },
 }
@@ -3119,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,  # new in r5 (new-vs-history LSH)
         "corpus_pipeline": q_corpus_pipeline,  # new in r5 (e2e stage composition)
         "embedding_sq8": q_embedding_sq8,  # new in r5 (int8 scalar quantization)
+        "mirror_hosts": q_mirror_hosts,  # new in r5 (content-overlap mirror pairs)
     })
 
 
@@ -4922,6 +4948,34 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.e, b.e), 6) AS cosine
             FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.3
+        """,
+        "mirror_hosts": """
+            WITH pages AS (
+              SELECT source AS host, md5(text) AS c FROM documents
+              UNION ALL
+              SELECT 'm-' || source, md5(text) FROM documents
+              WHERE length(source) % 2 = 0 AND doc_id % 4 <> 0
+            ),
+            hc AS (SELECT DISTINCT host, c FROM pages),
+            sizes AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+                      FROM hc GROUP BY host),
+            shared AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM hc a JOIN hc b ON a.c = b.c AND a.host < b.host
+              GROUP BY a.host, b.host
+            ),
+            j AS (
+              SELECT host_a, host_b, n_shared,
+                     sa.n AS n_a, sb.n AS n_b,
+                     CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jac
+              FROM shared
+              JOIN sizes sa ON sa.host = shared.host_a
+              JOIN sizes sb ON sb.host = shared.host_b
+            )
+            SELECT host_a, host_b, n_shared, n_a, n_b,
+                   round(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.5 ORDER BY host_a, host_b
         """,
         "embedding_sq8": """
             WITH v AS (

@@ -260,6 +260,7 @@ HEADLINE_QUERIES = [
     "host_graph",  # r5: domain-level webgraph rollup (PSL broadcast + one agg)
     "incremental_dedup",  # r5: new-vs-history LSH band join (never old x old)
     "embedding_sq8",  # r5: int8 scalar quantization (codegen, exact codes)
+    "mirror_hosts",  # r5: content-overlap mirror pairs (hash-keyed join)
 ]
 
 

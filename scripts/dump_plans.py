@@ -262,6 +262,12 @@ CLAIMS = {
         "no Python, nothing pairwise",
         ["!BatchEvalPython", "!ArrowEvalPython", "!CartesianProduct"],
     ),
+    "mirror_hosts": (
+        "mirror pairs meet on the shared content hash, never hosts^2 — "
+        "no CartesianProduct, no Python",
+        ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+         "!BatchEvalPython", "!ArrowEvalPython"],
+    ),
 }
 
 

@@ -744,3 +744,45 @@ class TestHostGraph:
             assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         with pytest.raises(ValueError):
             host_graph(links, level="tld")
+
+
+class TestMirrorHostPairs:
+    def test_jaccard_counts_and_threshold(self, spark):
+        from upton_spark.operators.webgraph import mirror_host_pairs
+
+        rows = []
+        # m1/m2 mirror 8 of 10 pages; solo shares 1 page with m1
+        for i in range(10):
+            rows.append(("m1.example", f"hash{i}"))
+        for i in range(8):
+            rows.append(("m2.example", f"hash{i}"))
+        rows += [("m2.example", "only-m2-a"), ("m2.example", "only-m2-b")]
+        rows += [("solo.example", "hash0"), ("solo.example", "zzz")]
+        # duplicate captures of the same page must not inflate counts
+        rows.append(("m1.example", "hash0"))
+        df = spark.createDataFrame(rows, "host string, content_hash string")
+        out = {
+            (r["host_a"], r["host_b"]): r
+            for r in mirror_host_pairs(df, threshold=0.5).collect()
+        }
+        assert set(out) == {("m1.example", "m2.example")}
+        r = out[("m1.example", "m2.example")]
+        assert (r["n_shared"], r["n_a"], r["n_b"]) == (8, 10, 10)
+        assert abs(r["jaccard"] - round(8 / 12, 6)) < 1e-9
+        # below threshold the solo pair exists but is filtered
+        low = mirror_host_pairs(df, threshold=0.0).collect()
+        assert any(
+            {p["host_a"], p["host_b"]} == {"m1.example", "solo.example"} for p in low
+        )
+
+    def test_no_pairwise_join_shapes(self, spark):
+        from upton_spark.operators.webgraph import mirror_host_pairs
+
+        df = spark.createDataFrame(
+            [("a", "h1"), ("b", "h1")], "host string, content_hash string"
+        )
+        plan = (
+            mirror_host_pairs(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -843,3 +843,50 @@ def host_graph(
     return edges.groupBy("src_site", "dst_site").agg(
         F.count("*").cast("long").alias("n_links")
     )
+
+
+def mirror_host_pairs(
+    pages: DataFrame,
+    host_col: str = "host",
+    content_col: str = "content_hash",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Mirror-site detection: host pairs whose CONTENT-HASH sets overlap
+    past ``threshold`` Jaccard — cdn./www. mirrors, country mirrors, and
+    scraper copies serve near-identical page sets, and a frontier that
+    treats them as distinct sites spends its politeness budget fetching
+    the same corpus twice (Heritrix/Common-Crawl mirror collapse).
+
+    Scale shape: the pair join is keyed on content_hash — two hosts meet
+    ONLY where they actually share a page hash, so work is proportional
+    to shared content, never |hosts|²; per-host set sizes come from one
+    partial-aggregable rollup, and a shared hash contributes one partial
+    count per (host_a, host_b) group. Hosts sharing nothing never pair.
+    Pure DataFrame ops, no Python; Jaccard from exact int64 counts.
+
+    Returns (host_a, host_b, n_shared, n_a, n_b, jaccard) with
+    host_a < host_b.
+    """
+    hc = pages.select(
+        F.col(host_col).alias("h"), F.col(content_col).alias("c")
+    ).distinct()
+    sizes = hc.groupBy("h").agg(F.count("*").cast("long").alias("n"))
+    a = hc.select(F.col("h").alias("host_a"), "c")
+    b = hc.select(F.col("h").alias("host_b"), "c")
+    shared = (
+        a.join(b, "c")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("h", "host_a").withColumnRenamed("n", "n_a"), "host_a")
+        .join(sizes.withColumnRenamed("h", "host_b").withColumnRenamed("n", "n_b"), "host_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "host_a", "host_b", "n_shared", "n_a", "n_b", F.round("jaccard", 6).alias("jaccard")
+    )
