@@ -2633,6 +2633,98 @@ def q_inverted_index(spark, sf_dir):
     )
 
 
+def q_embedding_pq(spark, sf_dir):
+    """Product quantization (operators.similarity.train_pq_codebooks /
+    pq_encode — Jégou et al. 2011): 64-dim vectors → 4 int codes (16-64×
+    storage cut, the FAISS IVF+PQ pairing beyond SQ8's 4×). Codebooks
+    train deterministically on the id-sorted table (bounded driver
+    sample); encode runs distributed through the SAME pure encoder the
+    oracle generator calls, and reconstruction happens ENGINE-SIDE via
+    codegen literal codebook lookup + cosine (round 4). Oracle: numpy
+    replay over the same parquet baked as VALUES."""
+    from upton_spark.operators.similarity import (
+        cosine_col,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=4, n_centroids=16)
+    enc = pq_encode(emb, books)
+    sub_tables = [
+        F.array(
+            *[
+                F.array(*[F.lit(float(v)) for v in books[s][c]])
+                for c in range(books.shape[1])
+            ]
+        )
+        for s in range(books.shape[0])
+    ]
+    recon = F.concat(
+        *[
+            F.element_at(sub_tables[s], F.col("pq_code")[s] + 1)
+            for s in range(books.shape[0])
+        ]
+    )
+    return enc.select(
+        "vec_id",
+        "pq_code",
+        F.round(cosine_col(F.col("embedding"), recon), 4).alias("cos_recon"),
+    ).orderBy("vec_id")
+
+
+def _embedding_pq_oracle() -> str | None:
+    """embedding_pq oracle: the SAME pure trainer/encoder (numpy, seeded)
+    replayed over the sf0.01 parquet at generation time, baked as VALUES —
+    independent of the Spark path under test (the Arrow encode stage and
+    the codegen literal-codebook reconstruction)."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from upton_spark.operators.similarity import (
+            _kmeans_plain,
+            pq_codes_for,
+            pq_reconstruct_for,
+        )
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if mat.shape[1] % 4 != 0:
+        return None
+    sub = mat.shape[1] // 4
+    books = np.stack(
+        [
+            _kmeans_plain(mat[:, s * sub : (s + 1) * sub], 16, 5, seed=31 + s)
+            for s in range(4)
+        ]
+    )
+    codes = pq_codes_for(mat, books)
+    recon = pq_reconstruct_for(codes, books)
+    num = (mat * recon).sum(axis=1)
+    den = np.linalg.norm(mat, axis=1) * np.linalg.norm(recon, axis=1)
+    cos = np.round(num / den, 4)
+    vals = [
+        f"({i},[{','.join(str(int(c)) for c in codes[j])}],{cos[j]})"
+        for j, i in enumerate(ids)
+    ]
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, pq_code, "
+        "CAST(cos_recon AS DOUBLE) AS cos_recon FROM (VALUES "
+        + ",".join(vals)
+        + ") v(vec_id, pq_code, cos_recon) ORDER BY vec_id"
+    )
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection (operators.webgraph.mirror_host_pairs): each
     even-length source gets an injected 'm-' twin carrying 3/4 of its
@@ -2984,7 +3076,7 @@ _FIRST_REGISTERED_ROUND = {
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
             "incremental_dedup", "corpus_pipeline", "embedding_sq8",
-            "mirror_hosts",
+            "mirror_hosts", "embedding_pq",
         )
     },
 }
@@ -3145,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,  # new in r5 (e2e stage composition)
         "embedding_sq8": q_embedding_sq8,  # new in r5 (int8 scalar quantization)
         "mirror_hosts": q_mirror_hosts,  # new in r5 (content-overlap mirror pairs)
+        "embedding_pq": q_embedding_pq,  # new in r5 (product quantization)
     })
 
 
@@ -4384,7 +4477,9 @@ def oracle_sql() -> dict[str, str]:
     mc = _main_content_oracle()
     cc = _crawl_content_oracle()
     cr = _compression_ratio_oracle()
+    pq = _embedding_pq_oracle()
     return {
+        **({"embedding_pq": pq} if pq is not None else {}),
         **({"compression_ratio": cr} if cr is not None else {}),
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),

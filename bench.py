@@ -261,6 +261,7 @@ HEADLINE_QUERIES = [
     "incremental_dedup",  # r5: new-vs-history LSH band join (never old x old)
     "embedding_sq8",  # r5: int8 scalar quantization (codegen, exact codes)
     "mirror_hosts",  # r5: content-overlap mirror pairs (hash-keyed join)
+    "embedding_pq",  # r5: product quantization (train + distributed encode)
 ]
 
 

@@ -464,3 +464,103 @@ def sq8_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _kmeans_plain(mat: np.ndarray, k: int, n_iters: int = 5, seed: int = 31) -> np.ndarray:
+    """Seeded Lloyd k-means in PLAIN (non-normalized) Euclidean space — the
+    PQ codebook trainer. Pure numpy, seeded init, fixed iteration count,
+    distances rounded to 6 decimals before each argmin so assignment can
+    never flip on summation-order float noise: trainer and oracle
+    generator produce bit-identical codebooks from the same matrix."""
+    mat = np.asarray(mat, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(n_iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = np.argmin(np.round(d, 6), axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_mod: int = 1,
+    n_iters: int = 5,
+    max_sample_rows: int = 1_000_000,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al. 2011, public): the
+    vector splits into ``m`` contiguous subspaces, each with its own
+    ``n_centroids``-entry Euclidean codebook — storage per vector drops
+    to m small ints while distances reconstruct per-subspace (the
+    FAISS IVF+PQ pairing; SQ8 is the 4× cut, PQ is the 16-64× cut).
+
+    Same driver-side discipline as :func:`train_ivf_centroids`: a
+    deterministic key-sampled subset, HARD-BOUNDED before any rows land
+    on the driver, sorted by id so training is partition-order
+    independent. Codebooks are a (m, n_centroids, dim/m) array regardless
+    of corpus size; encoding stays fully distributed."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    sample = embeddings.filter(F.col(id_col) % sample_mod == 0).select(id_col, vec_col)
+    if sample.limit(max_sample_rows + 1).count() > max_sample_rows:
+        raise ValueError(
+            f"PQ training sample exceeds max_sample_rows={max_sample_rows}: "
+            f"raise sample_mod (currently {sample_mod})"
+        )
+    pdf = sample.toPandas().sort_values(id_col)
+    mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    sub = dim // m
+    return np.stack(
+        [
+            _kmeans_plain(mat[:, s * sub : (s + 1) * sub], n_centroids, n_iters, seed=31 + s)
+            for s in range(m)
+        ]
+    )
+
+
+def pq_codes_for(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) matrix → (n, m) int codes: per-subspace argmin of the
+    rounded squared distance (ties → lowest centroid id). Pure numpy —
+    THE shared encoder: the Spark UDF and the oracle generator both call
+    this exact function, so driver replay and distributed encode agree
+    bit-for-bit."""
+    mat = np.asarray(mat, dtype=np.float64)
+    m, _k, sub = codebooks.shape
+    codes = np.empty((len(mat), m), dtype=np.int32)
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        d = ((x[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(-1)
+        codes[:, s] = np.argmin(np.round(d, 6), axis=1)
+    return codes
+
+
+def pq_reconstruct_for(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) codes → (n, dim) reconstructed vectors (concatenated
+    per-subspace centroids). Pure numpy, shared with the oracle."""
+    return np.concatenate(
+        [codebooks[s][codes[:, s]] for s in range(codebooks.shape[0])], axis=1
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distributed PQ encode: one Arrow batch → one numpy matmul-free
+    distance pass per subspace (pq_codes_for). Adds ``pq_code``
+    ARRAY<INT> of length m."""
+    books = np.asarray(codebooks, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vec: pd.Series) -> pd.Series:
+        mat = np.array(vec.tolist(), dtype=np.float64)
+        return pd.Series(pq_codes_for(mat, books).tolist())
+
+    return embeddings.withColumn("pq_code", enc(F.col(vec_col)))
