@@ -2725,6 +2725,75 @@ def _embedding_pq_oracle() -> str | None:
     )
 
 
+def q_embedding_pq_adc(spark, sf_dir):
+    """Asymmetric distance computation over PQ codes (operators.
+    similarity.pq_adc_topk) — THE PQ query path: per-subspace LUTs of
+    squared distances from the exact query to each centroid ship as
+    codegen literals (m×16 floats, O(1) in corpus size), so scoring a
+    vector is m array lookups + adds over the compressed code column,
+    never a reconstruction and never the float vectors. Top-10 for the
+    vec_id=0 query by ascending rounded L2. Oracle: the same-trainer
+    numpy LUT replay baked as VALUES."""
+    from upton_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, dim=64, m=4, n_centroids=16)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    enc = pq_encode(emb, books).select("vec_id", "pq_code")
+    return pq_adc_topk(enc, books, qvec, k=10)
+
+
+def _embedding_pq_adc_oracle() -> str | None:
+    """embedding_pq_adc oracle: same-trainer numpy replay (codebooks,
+    codes, per-subspace LUTs, rounded sums) over the sf0.01 parquet at
+    generation time, baked as VALUES."""
+    try:
+        import duckdb
+        import numpy as np
+
+        from upton_spark.operators.similarity import _kmeans_plain, pq_codes_for
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT vec_id, embedding FROM "
+            "read_parquet('/root/testdata/sf0.01/embeddings.parquet') ORDER BY vec_id"
+        ).fetchall()
+    except Exception:
+        return None
+    if not rows:
+        return None
+    ids = [r[0] for r in rows]
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if mat.shape[1] % 4 != 0 or 0 not in ids:
+        return None
+    sub = mat.shape[1] // 4
+    books = np.stack(
+        [
+            _kmeans_plain(mat[:, s * sub : (s + 1) * sub], 16, 5, seed=31 + s)
+            for s in range(4)
+        ]
+    )
+    codes = pq_codes_for(mat, books)
+    q = mat[ids.index(0)]
+    luts = [
+        np.round(((books[s] - q[s * sub : (s + 1) * sub]) ** 2).sum(axis=1), 6)
+        for s in range(4)
+    ]
+    adc = np.round(sum(luts[s][codes[:, s]] for s in range(4)), 6)
+    order = sorted(zip(adc, ids))[:10]
+    vals = [f"({int(i)},{float(d)})" for d, i in order]
+    return (
+        "SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(adc_dist AS DOUBLE) AS adc_dist FROM (VALUES "
+        + ",".join(vals)
+        + ") v(vec_id, adc_dist) ORDER BY adc_dist, vec_id"
+    )
+
+
 def q_mirror_hosts(spark, sf_dir):
     """Mirror-site detection (operators.webgraph.mirror_host_pairs): each
     even-length source gets an injected 'm-' twin carrying 3/4 of its
@@ -3076,7 +3145,7 @@ _FIRST_REGISTERED_ROUND = {
             "dup_representatives", "tfidf_keywords", "inverted_index",
             "charset_stats", "compression_ratio", "wat_ingest", "host_graph",
             "incremental_dedup", "corpus_pipeline", "embedding_sq8",
-            "mirror_hosts", "embedding_pq",
+            "mirror_hosts", "embedding_pq", "embedding_pq_adc",
         )
     },
 }
@@ -3238,6 +3307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_sq8": q_embedding_sq8,  # new in r5 (int8 scalar quantization)
         "mirror_hosts": q_mirror_hosts,  # new in r5 (content-overlap mirror pairs)
         "embedding_pq": q_embedding_pq,  # new in r5 (product quantization)
+        "embedding_pq_adc": q_embedding_pq_adc,  # new in r5 (PQ ADC query path)
     })
 
 
@@ -4478,8 +4548,10 @@ def oracle_sql() -> dict[str, str]:
     cc = _crawl_content_oracle()
     cr = _compression_ratio_oracle()
     pq = _embedding_pq_oracle()
+    pqadc = _embedding_pq_adc_oracle()
     return {
         **({"embedding_pq": pq} if pq is not None else {}),
+        **({"embedding_pq_adc": pqadc} if pqadc is not None else {}),
         **({"compression_ratio": cr} if cr is not None else {}),
         **({"embedding_ivf_topk": ivf} if ivf is not None else {}),
         **({"semantic_dedup": semded} if semded is not None else {}),

@@ -262,6 +262,7 @@ HEADLINE_QUERIES = [
     "embedding_sq8",  # r5: int8 scalar quantization (codegen, exact codes)
     "mirror_hosts",  # r5: content-overlap mirror pairs (hash-keyed join)
     "embedding_pq",  # r5: product quantization (train + distributed encode)
+    "embedding_pq_adc",  # r5: ADC scan over PQ codes (codegen LUT lookups)
 ]
 
 

@@ -418,3 +418,67 @@ class TestProductQuantization:
             train_pq_codebooks(emb, dim=64, m=5)
         with pytest.raises(ValueError, match="max_sample_rows"):
             train_pq_codebooks(emb, dim=64, m=4, max_sample_rows=3)
+
+
+class TestPqAdc:
+    def test_adc_matches_numpy_and_recalls_exact_neighbors(self, spark):
+        import numpy as np
+
+        from upton_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_codes_for,
+            pq_encode,
+            train_pq_codebooks,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(emb, dim=64, m=4, n_centroids=16)
+        rows = emb.select("vec_id", "embedding").collect()
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        ids = np.array([r["vec_id"] for r in rows])
+        qvec = mat[list(ids).index(0)]
+
+        enc = pq_encode(emb, books)
+        got = pq_adc_topk(enc, books, list(qvec), k=5).collect()
+        # numpy replay of the same LUT scoring
+        codes = pq_codes_for(mat, books)
+        sub = 16
+        luts = [
+            np.round(((books[s] - qvec[s * sub : (s + 1) * sub]) ** 2).sum(1), 6)
+            for s in range(4)
+        ]
+        adc = np.round(sum(luts[s][codes[:, s]] for s in range(4)), 6)
+        order = sorted(zip(adc, ids))[:5]
+        assert [(r["vec_id"], r["adc_dist"]) for r in got] == [
+            (int(i), float(d)) for d, i in order
+        ]
+        # the query's own vector must rank first (distance to own codes)
+        assert got[0]["vec_id"] == 0
+        # recall vs exact L2 on this near-isotropic corpus with a tiny
+        # (tens of vectors) training set: measured deterministic recall@5
+        # is 2/5 — pinned as a regression floor, same convention as the
+        # LSH/IVF recall floors above; the exact-scoring equality above is
+        # the correctness claim, this is the quantization-quality canary
+        true = [int(i) for _, i in sorted(zip(((mat - qvec) ** 2).sum(1), ids))[:5]]
+        assert len({r["vec_id"] for r in got} & set(true)) >= 2
+
+    def test_adc_scan_is_pure_codegen(self, spark):
+        from upton_spark.operators.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            train_pq_codebooks,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        books = train_pq_codebooks(emb, dim=64, m=4, n_centroids=16)
+        enc = pq_encode(emb, books).select("vec_id", "pq_code").localCheckpoint()
+        plan = (
+            pq_adc_topk(enc, books, [0.0] * 64, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # scoring the CODES table involves no Python and ends in TakeOrdered
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "TakeOrderedAndProject" in plan

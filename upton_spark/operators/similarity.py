@@ -564,3 +564,39 @@ def pq_encode(
         return pd.Series(pq_codes_for(mat, books).tolist())
 
     return embeddings.withColumn("pq_code", enc(F.col(vec_col)))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation — THE PQ query path: the query
+    stays exact while corpus vectors are their codes; per subspace a
+    16-entry lookup table of squared distances from the query subvector
+    to each centroid is precomputed driver-side (m×k floats, O(1) in
+    corpus size) and shipped as codegen literals, so scoring a vector is
+    m array lookups + adds — NO reconstruction, NO Python, and the scan
+    reads only the int codes (the 16-64× compressed column), never the
+    float vectors. Top-k by ascending approximate L2 (TakeOrdered).
+    Distances round to 6 decimals (the family's argmin convention) so
+    ranking is engine-reproducible."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _kc, sub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    luts = [
+        np.round(((books[s] - q[s * sub : (s + 1) * sub]) ** 2).sum(axis=1), 6)
+        for s in range(m)
+    ]
+    lut_cols = [F.array(*[F.lit(float(v)) for v in luts[s]]) for s in range(m)]
+    dist = None
+    for s in range(m):
+        term = F.element_at(lut_cols[s], F.col("pq_code")[s] + 1)
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
