@@ -426,3 +426,36 @@ class TestIncrementalNearDups:
         }
         assert inc == crossing
         assert (2, 1) in inc and (4, 1) in inc  # the planted near-dups
+
+    def test_precomputed_old_bands_identical_to_inline(self, spark):
+        """The continuous-crawl path: passing the history's persisted
+        minhash_band_table must yield bit-identical results to in-line
+        recomputation (old_bands is a pure function of the old texts)."""
+        from upton_spark.operators.dedup_docs import (
+            incremental_near_dups,
+            minhash_band_table,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again "
+        rows = [
+            (1, base * 4),
+            (2, base * 4 + "tail change"),
+            (3, "completely different text about spark shuffles " * 5),
+            (4, base * 4 + "other tail"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        new = df.filter("doc_id % 2 = 0")
+        old = df.filter("doc_id % 2 = 1")
+        inline = sorted(
+            map(tuple, incremental_near_dups(new, old, threshold=0.5).collect())
+        )
+        pre = minhash_band_table(old)
+        reused = sorted(
+            map(
+                tuple,
+                incremental_near_dups(
+                    new, old, threshold=0.5, old_bands=pre
+                ).collect(),
+            )
+        )
+        assert inline == reused and inline

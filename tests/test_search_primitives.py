@@ -285,11 +285,16 @@ class TestSearchPrimitiveProperties:
                 assert abs(r["score"] - round(expect, 6)) < 1e-9
             # top-k really is top-k: every omitted term scores <= the cutoff
             if len(recs) == 4:
+                # an omitted term must NOT outrank the kth kept entry under
+                # the (score desc, term asc) order: it may only score lower,
+                # or tie with a lexicographically LATER term
                 cutoff = (recs[-1]["score"], recs[-1]["term"])
                 for (dd, w), c in tf.items():
                     if dd == d and w not in {r["term"] for r in recs}:
                         sc = round(c * math.log((n_docs + 1) / (dfreq[w] + 1)), 6)
-                        assert (sc, w) > cutoff or sc < cutoff[0]
+                        assert sc < cutoff[0] or (
+                            sc == cutoff[0] and w > cutoff[1]
+                        ), f"omitted term {w} ({sc}) outranks cutoff {cutoff}"
 
     def test_inverted_index_is_a_partition_of_the_td_pairs(self, spark):
         from upton_spark.operators.textops import inverted_index

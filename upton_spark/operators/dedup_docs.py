@@ -147,6 +147,27 @@ def lsh_candidate_pairs(
     )
 
 
+def _exact_jaccard_udf(shingle_k: int):
+    """Arrow-batched exact shingle-set Jaccard — THE shared verifier of the
+    symmetric and incremental LSH paths (one definition, so the two can
+    never diverge on shingle params or the empty-union convention)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        cache: dict = {}
+        for x, y in zip(ta, tb):
+            sa = _shingle_hashes(x, shingle_k, cache)
+            sb = _shingle_hashes(y, shingle_k, cache)
+            # both sides are sorted-unique arrays; intersect1d beats set ops
+            n_inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - n_inter
+            out.append(n_inter / union if union else 1.0)
+        return pd.Series(out)
+
+    return jac
+
+
 def verify_jaccard_pairs(
     pairs: DataFrame,
     df: DataFrame,
@@ -163,20 +184,7 @@ def verify_jaccard_pairs(
         pairs.join(docs.withColumnRenamed(key_col, "a").withColumnRenamed(text_col, "text_a"), "a")
         .join(docs.withColumnRenamed(key_col, "b").withColumnRenamed(text_col, "text_b"), "b")
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        cache: dict = {}
-        for x, y in zip(ta, tb):
-            sa = _shingle_hashes(x, shingle_k, cache)
-            sb = _shingle_hashes(y, shingle_k, cache)
-            # both sides are sorted-unique arrays; intersect1d beats set ops
-            n_inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - n_inter
-            out.append(n_inter / union if union else 1.0)
-        return pd.Series(out)
-
+    jac = _exact_jaccard_udf(shingle_k)
     return (
         joined.withColumn("jaccard", jac("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)
@@ -765,6 +773,25 @@ def select_representatives(
     )
 
 
+def minhash_band_table(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(key, band, band_hash) rows for a corpus — a pure function of its
+    texts, so a continuously-running crawl computes it ONCE per snapshot,
+    persists it next to the snapshot, and feeds it to every later
+    :func:`incremental_near_dups` call as ``old_bands`` instead of
+    re-signing the unchanged history (the expensive per-doc shingle +
+    minhash pass) on every new shard."""
+    return _band_table(
+        minhash_signatures(docs, text_col, n_hashes, shingle_k), key_col, n_bands
+    )
+
+
 def incremental_near_dups(
     new_docs: DataFrame,
     old_docs: DataFrame,
@@ -774,6 +801,7 @@ def incremental_near_dups(
     n_bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    old_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW shard against an already-deduped HISTORY — the
     operational shape of a continuously-running crawl (each monthly
@@ -793,14 +821,21 @@ def incremental_near_dups(
     Scale shape: signatures are per-doc Arrow batches on each side; the
     bucket join shuffles band tables (n_docs × n_bands rows), never
     texts; exact-Jaccard verify touches only candidate pairs. At scale
-    the old side's band table is precomputed once per snapshot and
-    reused — it is a pure function of the old texts.
+    pass ``old_bands`` — the history's :func:`minhash_band_table`,
+    computed once per snapshot and persisted — so the unchanged history
+    is never re-signed; ``old_docs`` is then read only for the candidate
+    pairs' verify texts. Omitting it recomputes the old side's bands
+    in-line (fine at test scale, wasteful per shard at 10^10 pages).
     """
-    new_b = _band_table(
-        minhash_signatures(new_docs, text_col, n_hashes, shingle_k), key_col, n_bands
+    new_b = minhash_band_table(
+        new_docs, key_col, text_col, n_hashes, n_bands, shingle_k
     ).withColumnRenamed(key_col, "new_id")
-    old_b = _band_table(
-        minhash_signatures(old_docs, text_col, n_hashes, shingle_k), key_col, n_bands
+    old_b = (
+        old_bands
+        if old_bands is not None
+        else minhash_band_table(
+            old_docs, key_col, text_col, n_hashes, n_bands, shingle_k
+        )
     ).withColumnRenamed(key_col, "old_id")
     cand = (
         new_b.join(old_b, ["band", "band_hash"])
@@ -814,19 +849,7 @@ def incremental_near_dups(
         F.col(key_col).alias("old_id"), F.col(text_col).alias("text_b")
     )
     joined = cand.join(new_texts, "new_id").join(old_texts, "old_id")
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        cache: dict = {}
-        for x, y in zip(ta, tb):
-            sa = _shingle_hashes(x, shingle_k, cache)
-            sb = _shingle_hashes(y, shingle_k, cache)
-            n_inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - n_inter
-            out.append(n_inter / union if union else 1.0)
-        return pd.Series(out)
-
+    jac = _exact_jaccard_udf(shingle_k)
     return (
         joined.withColumn("jaccard", jac("text_a", "text_b"))
         .filter(F.col("jaccard") >= threshold)

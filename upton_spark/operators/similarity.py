@@ -517,6 +517,12 @@ def train_pq_codebooks(
         )
     pdf = sample.toPandas().sort_values(id_col)
     mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[1] != dim:
+        raise ValueError(
+            f"embedding length {mat.shape[1] if mat.ndim == 2 else 'ragged'} "
+            f"!= dim={dim}: a mismatched dim would silently train and "
+            "encode only a prefix of every vector"
+        )
     sub = dim // m
     return np.stack(
         [
@@ -532,8 +538,12 @@ def pq_codes_for(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     THE shared encoder: the Spark UDF and the oracle generator both call
     this exact function, so driver replay and distributed encode agree
     bit-for-bit."""
-    mat = np.asarray(mat, dtype=np.float64)
     m, _k, sub = codebooks.shape
+    mat = np.asarray(mat, dtype=np.float64)
+    if len(mat) == 0:
+        # an empty Arrow batch must yield an empty (0, m) code array, not
+        # an IndexError aborting the whole encode task
+        return np.empty((0, m), dtype=np.int32)
     codes = np.empty((len(mat), m), dtype=np.int32)
     for s in range(m):
         x = mat[:, s * sub : (s + 1) * sub]
